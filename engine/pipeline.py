@@ -1,0 +1,119 @@
+"""The extraction DataFrame DAG — staged and fused modes.
+
+Staged mode is the SURVEY.md §3.1 plan shape, the distributed recast of the
+reference's detect→recognize lifecycle::
+
+    read pages → salted repartition → mapInPandas(detect_blocks)
+      → filter(KEEP_PREDICATE)                 # Catalyst-side conf mask (O3)
+      → filter(non-empty norm)                 # empty-region drop (O8)
+      → mapInPandas(recognize_blocks)
+      → groupBy(url).agg(ordered reassembly)   # reading-order A4, JVM-side
+      → extracted
+
+Fused mode collapses detect+recognize+reassembly into ONE Arrow pass (no
+shuffle at all — blocks of a document never leave its row), the distributed
+form of ``_process_one_page`` (``bilingual_ocr.py:126-211``). It is the
+throughput path; staged mode exists for block-level inspection/metrics and to
+*prove* the shuffle-bearing plan produces identical bytes (golden test).
+
+Reassembly (staged) is pure JVM: ``array_sort(collect_list(struct(...)))``
+sorts by ``block_id`` *inside* the aggregate, so the result is independent of
+partitioning and row order (SURVEY.md §7.3 H1); span offsets are prefix sums
+via ``aggregate()`` — both stay in WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from engine.salt import salted_repartition
+from engine.stages import (
+    BLOCKS_SCHEMA,
+    EXTRACTED_CORE_SCHEMA,
+    KEEP_PREDICATE,
+    RECOGNIZED_SCHEMA,
+    detect_blocks,
+    extract_fused,
+    recognize_blocks,
+)
+
+PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+_SPANS_AGG = """
+aggregate(
+  filter(array_sort(collect_list(struct(block_id, lang, norm_text))),
+         x -> x.block_id >= 0),
+  struct(0 as pos,
+         cast(array() as array<struct<block_id:int,start:int,end:int,lang:string>>) as spans),
+  (acc, x) -> struct(
+      acc.pos + length(x.norm_text) + 1 as pos,
+      acc.spans || array(struct(x.block_id as block_id,
+                                acc.pos as start,
+                                acc.pos + length(x.norm_text) as `end`,
+                                x.lang as lang)) as spans),
+  acc -> acc.spans
+)
+"""
+
+_TEXT_AGG = """
+array_join(
+  transform(filter(array_sort(collect_list(struct(block_id, lang, norm_text))),
+                   x -> x.block_id >= 0),
+            x -> x.norm_text),
+  '\n')
+"""
+
+
+def detect(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+    """Stage 1 as a standalone DataFrame (the `blocks` intermediate table)."""
+    if num_parts is None:
+        num_parts = pages.sparkSession.sparkContext.defaultParallelism
+    salted = salted_repartition(pages, num_parts)
+    pruned = salted.select("url", "warc_ts", "html", "lang")  # F7 column pruning
+    return pruned.mapInPandas(detect_blocks, schema=BLOCKS_SCHEMA)
+
+
+def run_staged(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+    blocks = detect(pages, num_parts)
+    surviving = blocks.filter(F.expr(KEEP_PREDICATE))
+    recognized = surviving.select(
+        "url", "warc_ts", "block_id", "text", "lang", "doc_n_blocks", "doc_status"
+    ).mapInPandas(recognize_blocks, schema=RECOGNIZED_SCHEMA)
+    nonempty = recognized.filter("block_id = -1 OR length(norm_text) > 0")
+    assembled = nonempty.groupBy("url", "warc_ts").agg(
+        F.expr(_TEXT_AGG).alias("extracted_text"),
+        F.expr(_SPANS_AGG).alias("spans"),
+        F.max("doc_n_blocks").cast("int").alias("n_blocks"),
+        F.expr("size(filter(collect_list(struct(block_id)), x -> x.block_id >= 0))")
+        .cast("int")
+        .alias("n_kept"),
+        F.max("doc_status").alias("err_status"),
+    )
+    return assembled.withColumn(
+        "status",
+        F.coalesce(
+            F.col("err_status"),
+            F.when(F.col("n_kept") > 0, F.lit("ok")).otherwise(F.lit("empty")),
+        ),
+    ).drop("err_status")
+
+
+def run_fused(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+    if num_parts is None:
+        num_parts = pages.sparkSession.sparkContext.defaultParallelism
+    salted = salted_repartition(pages, num_parts)
+    pruned = salted.select("url", "warc_ts", "html", "lang")
+    return pruned.mapInPandas(extract_fused, schema=EXTRACTED_CORE_SCHEMA)
+
+
+def run_extract(
+    pages: DataFrame,
+    mode: str = "fused",
+    num_parts: int | None = None,
+    run_id: str = "run0",
+) -> DataFrame:
+    """Full pipeline -> extracted table incl. part_id + lineage columns."""
+    core = run_fused(pages, num_parts) if mode == "fused" else run_staged(pages, num_parts)
+    return core.withColumn("part_id", F.spark_partition_id()).withColumn(
+        "lineage", F.lit(run_id)
+    )

@@ -1,0 +1,66 @@
+"""CLI entry: run the extraction pipeline over a pages parquet.
+
+Mirrors the reference's flagship CLI (``bilingual_ocr.py --input X --lang
+auto --save-json``, SURVEY.md §3.1) as a spark-submit-able job::
+
+    spark-submit --py-files dist/engine.zip engine/run_pipeline.py \
+        --pages /data/pages.parquet --out /data/extracted \
+        [--mode fused|staged] [--parts 32] [--resume] [--run-id r1]
+
+``--resume`` performs the checkpointed-resume anti-join (J3) against the
+existing output before processing, and the write is a MERGE-by-url (J4), so
+a killed run re-launched with ``--resume`` converges to the same table as a
+single clean run (tested in tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# spark-submit runs this file directly; make the repo root importable.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from engine import metrics as M  # noqa: E402
+from engine import pipeline, tableio  # noqa: E402
+from engine.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", default="fused", choices=["fused", "staged"])
+    ap.add_argument("--parts", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(master=args.master)
+    pages = spark.read.parquet(args.pages)
+    if args.resume:
+        pages = tableio.remaining(pages, args.out)
+
+    t0 = time.monotonic()
+    extracted = pipeline.run_extract(
+        pages, mode=args.mode, num_parts=args.parts, run_id=args.run_id
+    )
+    tableio.merge_by_url(spark, args.out, extracted)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    tableio.write_lineage(spark, args.out, args.run_id)
+    final = spark.read.parquet(args.out)
+    metrics_df = M.partition_metrics(final, args.run_id, wall_ms)
+    tableio.write_table(metrics_df, f"{args.out}_metrics")
+
+    n = final.count()
+    print(json.dumps({"rows": n, "wall_ms": wall_ms, "mode": args.mode}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

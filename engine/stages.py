@@ -1,0 +1,158 @@
+"""The engine's vectorized Python stages (SURVEY.md §2.10) — the only places
+Python touches row data, always through Arrow batch iterators, never per-row
+Python UDFs (north rule).
+
+- :func:`detect_blocks`     — stage 1, 1 page row → N candidate-block rows
+  (ref detect_and_crop_text_with_boxes, ``text_detection_yolov8.py:229-288``).
+  Emits a sentinel row (``block_id = -1``) per document so documents whose
+  blocks are all filtered out still reach the output with ``status='empty'``
+  (ref "no regions detected" path, ``bilingual_ocr.py:167-181``).
+- :func:`recognize_blocks`  — stage 2, normalized text per surviving block
+  (ref recognize_urdu/recognize_english + post_process,
+  ``urdu_recognition_utrnet.py:132-166``, ``english_ocr_pipeline.py:52-84``).
+- :func:`extract_fused`     — the fused per-document stage used by the
+  throughput path: detect+recognize+reassemble in one Arrow pass, zero
+  shuffles — the distributed form of the reference's per-page orchestrator
+  ``_process_one_page`` (``bilingual_ocr.py:126-211``). Byte-identical to the
+  staged path by construction (both call the same ``extraction`` functions;
+  asserted by tests/test_golden_e2e.py).
+
+Heavy init (routing tables, keep-sets) is module-level in ``extraction`` and
+imported once per worker process — the engine analog of the reference's
+load-once model state (SURVEY.md §4 O1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from extraction.core import extract_document, recognize_block
+from extraction.html_clean import decode_html
+from extraction.routing import block_route, doc_route
+from extraction.segment import segment_blocks
+
+# Stage-1 output schema (SURVEY.md §1.3 `blocks` + doc-level carry columns).
+BLOCKS_SCHEMA = (
+    "url string, warc_ts timestamp, block_id int, tag string, text string, "
+    "n_chars int, n_link_chars int, n_tags int, "
+    "link_density double, tag_density double, score double, lang string, "
+    "doc_n_blocks int, doc_status string"
+)
+
+# Stage-2 output schema.
+RECOGNIZED_SCHEMA = (
+    "url string, warc_ts timestamp, block_id int, lang string, "
+    "norm_text string, doc_n_blocks int, doc_status string"
+)
+
+# Final extracted schema (SURVEY.md §1.3 `extracted`, sans part_id/lineage
+# which the pipeline appends uniformly).
+EXTRACTED_CORE_SCHEMA = (
+    "url string, warc_ts timestamp, extracted_text string, "
+    "spans array<struct<block_id:int,start:int,end:int,lang:string>>, "
+    "n_blocks int, n_kept int, status string"
+)
+
+# The Catalyst-side keep predicate — integer-only, byte-for-byte the same
+# decision as extraction.segment._keep (SURVEY.md §7.3 H1). Sentinel rows
+# always pass. Applied as a real DataFrame filter between the stages so the
+# threshold is visible to the optimizer (ref conf mask re-check, SURVEY §4 O3).
+KEEP_PREDICATE = (
+    "(block_id = -1) OR "
+    "(n_chars >= 25 AND n_chars <= 1000000 AND 3 * n_link_chars < n_chars)"
+)
+
+
+def detect_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 1: pages -> candidate blocks (+1 sentinel per doc)."""
+    for pdf in batches:
+        out: dict[str, list] = {
+            "url": [], "warc_ts": [], "block_id": [], "tag": [], "text": [],
+            "n_chars": [], "n_link_chars": [], "n_tags": [],
+            "link_density": [], "tag_density": [], "score": [], "lang": [],
+            "doc_n_blocks": [], "doc_status": [],
+        }
+
+        def emit(url, ts, block_id, tag, text, n_chars, n_link, n_tags,
+                 ld, td, score, lang, doc_n_blocks, doc_status) -> None:
+            out["url"].append(url)
+            out["warc_ts"].append(ts)
+            out["block_id"].append(block_id)
+            out["tag"].append(tag)
+            out["text"].append(text)
+            out["n_chars"].append(n_chars)
+            out["n_link_chars"].append(n_link)
+            out["n_tags"].append(n_tags)
+            out["link_density"].append(ld)
+            out["tag_density"].append(td)
+            out["score"].append(score)
+            out["lang"].append(lang)
+            out["doc_n_blocks"].append(doc_n_blocks)
+            out["doc_status"].append(doc_status)
+
+        for url, ts, html, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        ):
+            try:
+                raw = decode_html(html) if isinstance(html, (bytes, bytearray)) else (html or "")
+                blocks = segment_blocks(raw)
+                droute = doc_route(lang)
+                for b in blocks:
+                    route = droute if droute is not None else block_route(b.text)
+                    emit(url, ts, b.block_id, b.tag, b.text, b.n_chars,
+                         b.n_link_chars, b.n_tags, b.link_density,
+                         b.tag_density, b.score, route, len(blocks), None)
+                emit(url, ts, -1, "", "", 0, 0, 0, 0.0, 0.0, 0.0, "",
+                     len(blocks), None)
+            except Exception as exc:  # noqa: BLE001 — error rows, not exceptions
+                emit(url, ts, -1, "", "", 0, 0, 0, 0.0, 0.0, 0.0, "",
+                     0, f"error:{type(exc).__name__}")
+        yield pd.DataFrame(out)
+
+
+def recognize_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 2: surviving blocks -> normalized text."""
+    for pdf in batches:
+        norm = [
+            recognize_block(text, lang) if block_id >= 0 else ""
+            for text, lang, block_id in zip(pdf["text"], pdf["lang"], pdf["block_id"])
+        ]
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "block_id": pdf["block_id"],
+                "lang": pdf["lang"],
+                "norm_text": norm,
+                "doc_n_blocks": pdf["doc_n_blocks"],
+                "doc_status": pdf["doc_status"],
+            }
+        )
+
+
+def extract_fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused per-document stage: one Arrow pass, zero shuffles."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "url": [], "warc_ts": [], "extracted_text": [], "spans": [],
+            "n_blocks": [], "n_kept": [], "status": [],
+        }
+        for url, ts, html, lang in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        ):
+            r = extract_document(url, html, lang)
+            rows["url"].append(url)
+            rows["warc_ts"].append(ts)
+            rows["extracted_text"].append(r.extracted_text)
+            rows["spans"].append(
+                [
+                    {"block_id": s.block_id, "start": s.start, "end": s.end, "lang": s.lang}
+                    for s in r.spans
+                ]
+            )
+            rows["n_blocks"].append(r.n_blocks)
+            rows["n_kept"].append(r.n_kept)
+            rows["status"].append(r.status)
+        yield pd.DataFrame(rows)

@@ -1,0 +1,71 @@
+"""Golden end-to-end: the Spark pipeline (both modes) must reproduce the
+pure-Python oracle byte-for-byte per url (BASELINE.json correctness metric;
+mirrors the reference's smoke STEP C end-to-end assertion,
+``run_smoke_tests.py:197-220``, strengthened from existence/size to full
+byte-identity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine import pipeline
+
+
+def _collect_results(df) -> dict[str, dict]:
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out[r["url"]] = {
+            "extracted_text": r["extracted_text"],
+            "spans": [
+                {"block_id": s["block_id"], "start": s["start"], "end": s["end"], "lang": s["lang"]}
+                for s in (r["spans"] or [])
+            ],
+            "n_blocks": r["n_blocks"],
+            "n_kept": r["n_kept"],
+            "status": r["status"],
+        }
+    return out
+
+
+@pytest.mark.parametrize("mode", ["fused", "staged"])
+def test_pipeline_matches_goldens(spark, pages_unit_path, goldens_unit, mode):
+    pages = spark.read.parquet(pages_unit_path)
+    extracted = pipeline.run_extract(pages, mode=mode, num_parts=5, run_id="t")
+    got = _collect_results(extracted)
+
+    assert len(got) == len(goldens_unit)  # full outer join semantics: same urls
+    mismatches = []
+    for g in goldens_unit:
+        url = g["url"]
+        assert url in got, f"missing url {url}"
+        a = got[url]
+        if a["extracted_text"] != g["extracted_text"]:
+            mismatches.append((url, "text"))
+        if a["spans"] != g["spans"]:
+            mismatches.append((url, "spans"))
+        if (a["n_blocks"], a["n_kept"], a["status"]) != (
+            g["n_blocks"], g["n_kept"], g["status"],
+        ):
+            mismatches.append((url, "counts"))
+    assert not mismatches, f"{len(mismatches)} mismatches: {mismatches[:5]}"
+
+
+def test_staged_equals_fused(spark, pages_small_path):
+    pages = spark.read.parquet(pages_small_path)
+    staged = _collect_results(pipeline.run_extract(pages, mode="staged", num_parts=7))
+    fused = _collect_results(pipeline.run_extract(pages, mode="fused", num_parts=3))
+    assert staged == fused
+
+
+def test_blocks_intermediate_counts(spark, pages_unit_path, goldens_unit):
+    """Stage-1 block counts agree with the oracle's n_blocks per url."""
+    pages = spark.read.parquet(pages_unit_path)
+    blocks = pipeline.detect(pages, num_parts=4)
+    per_url = {
+        r["url"]: r["n"]
+        for r in blocks.filter("block_id >= 0").groupBy("url").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for g in goldens_unit:
+        assert per_url.get(g["url"], 0) == g["n_blocks"]

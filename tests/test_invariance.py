@@ -1,0 +1,52 @@
+"""Invariance properties (SURVEY.md §5 item 4, FIXTURES.md §5): the extracted
+table is byte-identical regardless of input row order, partition count, and
+salt-domain size — the engine equivalent of the reference's determinism-by-
+sorting discipline (``text_detection_yolov8.py:211-212``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine import pipeline
+from engine.salt import salted_repartition, with_url_salt
+
+
+def _canon(df):
+    return {
+        r["url"]: (r["extracted_text"], tuple((s["block_id"], s["start"], s["end"], s["lang"]) for s in (r["spans"] or [])), r["status"])
+        for r in df.collect()
+    }
+
+
+def test_partition_count_invariance(spark, pages_small_path):
+    pages = spark.read.parquet(pages_small_path)
+    a = _canon(pipeline.run_extract(pages, num_parts=2))
+    b = _canon(pipeline.run_extract(pages, num_parts=17))
+    assert a == b
+
+
+def test_row_order_invariance(spark, pages_small_path):
+    pages = spark.read.parquet(pages_small_path)
+    shuffled = pages.orderBy(F.xxhash64("url", F.lit(99)))
+    a = _canon(pipeline.run_extract(pages, num_parts=5))
+    b = _canon(pipeline.run_extract(shuffled, num_parts=5))
+    assert a == b
+
+
+def test_mode_invariance_on_staged_salt(spark, pages_small_path):
+    pages = spark.read.parquet(pages_small_path)
+    a = _canon(pipeline.run_extract(pages, mode="staged", num_parts=3))
+    b = _canon(pipeline.run_extract(pages, mode="staged", num_parts=11))
+    assert a == b
+
+
+def test_salt_is_deterministic_and_isolates_giants(spark, pages_small_path):
+    pages = spark.read.parquet(pages_small_path)
+    s1 = with_url_salt(pages, 8).select("url", "salt").collect()
+    s2 = with_url_salt(pages, 8).select("url", "salt").collect()
+    assert {r["url"]: r["salt"] for r in s1} == {r["url"]: r["salt"] for r in s2}
+    giants = with_url_salt(pages, 8).filter(F.length("html") > 256 * 1024)
+    if giants.count() > 0:
+        assert giants.filter(F.col("salt") < 8).count() == 0  # giant domain only
+    reparted = salted_repartition(pages, 8)
+    assert reparted.rdd.getNumPartitions() == 8 + 2

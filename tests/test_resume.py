@@ -1,0 +1,76 @@
+"""Checkpointed resume (J3 anti-join) + MERGE-by-url (J4) semantics:
+a run killed partway and resumed must converge to the same table as one
+clean run, and re-merging is idempotent (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+from engine import pipeline, tableio
+
+
+def _table_dict(df):
+    return {r["url"]: (r["extracted_text"], r["status"]) for r in df.collect()}
+
+
+def test_resume_equals_single_run(spark, pages_small_path, tmp_path):
+    out = str(tmp_path / "extracted")
+    pages = spark.read.parquet(pages_small_path)
+
+    # "killed" first run: only half the input got processed and merged
+    first_half = pages.filter("xxhash64(url) % 2 = 0")
+    tableio.merge_by_url(
+        spark, out, pipeline.run_extract(first_half, num_parts=4, run_id="r1")
+    )
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < pages.count()
+
+    # resume: anti-join leaves only unprocessed urls
+    todo = tableio.remaining(pages, out)
+    assert todo.count() == pages.count() - n_first
+    tableio.merge_by_url(
+        spark, out, pipeline.run_extract(todo, num_parts=4, run_id="r2")
+    )
+
+    resumed = _table_dict(spark.read.parquet(out))
+    single = _table_dict(pipeline.run_extract(pages, num_parts=4, run_id="r0"))
+    assert resumed == single
+
+
+def test_merge_idempotent(spark, pages_unit_path, tmp_path):
+    out = str(tmp_path / "extracted")
+    pages = spark.read.parquet(pages_unit_path)
+    upd = pipeline.run_extract(pages, num_parts=2, run_id="a")
+    tableio.merge_by_url(spark, out, upd)
+    once = _table_dict(spark.read.parquet(out))
+    tableio.merge_by_url(spark, out, upd)  # merge same updates again
+    twice = _table_dict(spark.read.parquet(out))
+    assert once == twice
+    assert spark.read.parquet(out).groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_merge_updates_win(spark, pages_unit_path, tmp_path):
+    out = str(tmp_path / "extracted")
+    pages = spark.read.parquet(pages_unit_path)
+    tableio.merge_by_url(spark, out, pipeline.run_extract(pages, num_parts=2, run_id="v1"))
+    from pyspark.sql import functions as F
+
+    v2 = pipeline.run_extract(pages.limit(10), num_parts=2, run_id="v2").withColumn(
+        "lineage", F.lit("v2")
+    )
+    tableio.merge_by_url(spark, out, v2)
+    final = spark.read.parquet(out)
+    assert final.count() == 64
+    assert final.filter("lineage = 'v2'").count() == 10
+
+
+def test_lineage_written(spark, pages_unit_path, tmp_path):
+    import json
+    import os
+
+    out = str(tmp_path / "extracted")
+    pages = spark.read.parquet(pages_unit_path)
+    tableio.merge_by_url(spark, out, pipeline.run_extract(pages, num_parts=2, run_id="L"))
+    path = tableio.write_lineage(spark, out, "L")
+    assert os.path.exists(path)
+    payload = json.load(open(path))
+    assert payload["total_rows"] == 64
+    assert all(p["rows"] > 0 for p in payload["partitions"])
