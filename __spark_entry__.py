@@ -1,38 +1,654 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: synthesize Common-Crawl-style pages from the
+                     sf0.001 ``documents`` table and run the full fused
+                     extraction pipeline (SURVEY.md §3.1).
+``queries()``      — one entry per implemented operator family from
+                     SURVEY.md §2 plus the training-data-pipeline operators
+                     (dedup / similarity / text analysis / multimodal).
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                     query (same column names, bigint ints, rounded doubles,
+                     epoch-bigint timestamps).
+
+Conventions shared by both sides to make value-hashes comparable:
+- every computed column is aliased identically in Spark and SQL;
+- integers are cast to BIGINT, floats rounded to 4 decimals as DOUBLE;
+- timestamps are surfaced as epoch seconds (BIGINT) — Spark session runs UTC.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the requested parquet tables as temp views."""
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# The deterministic HTML wrap used to turn `documents` rows into pages with
+# known boilerplate (nav: 9 chars / 8 link chars; footer: 5 chars / 5 link
+# chars) so stage-1 features and stage-2 output are SQL-predictable.
+_WRAP_PRE = (
+    '<html><body><nav><a href="/">home</a> <a href="/b">blog</a></nav>'
+    "<article><p>"
+)
+_WRAP_POST = '</p></article><footer><a href="/t">terms</a></footer></body></html>'
+
+# body = substr(text, 1, 20 + doc_id % 300): lengths 20..319 so a slice of
+# docs falls under the MIN_BLOCK_CHARS=25 keep threshold (the 'empty' path).
+_BODY_EXPR = "substring(text, 1, 20 + cast(doc_id % 300 as int))"
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a deterministic `pages` table from `documents` (Spark-side)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit(_WRAP_PRE), F.expr(_BODY_EXPR), F.lit(_WRAP_POST)),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+# DuckDB-side equivalent of the normalized body (whitespace collapse only:
+# all documents langs are LTR so stage 2 is collapse_ws — extraction/normalize.py).
+_NORM_SQL = f"trim(regexp_replace({_BODY_EXPR}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from engine.pipeline import run_extract
 
+    pages = pages_from_documents(spark, SF_DEFAULT)
+    return run_extract(pages, mode="fused", num_parts=8, run_id="entry")
+
+
+# ---------------------------------------------------------------------------
+# queries — extraction pipeline family
+# ---------------------------------------------------------------------------
+
+def _q_extract_roundtrip(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from engine.pipeline import run_extract
+
+        pages = pages_from_documents(spark, sf_dir)
+        out = run_extract(pages, mode=mode, num_parts=8, run_id="q")
+        return out.select(
+            F.col("url").cast("bigint").alias("doc_id"),
+            F.col("extracted_text"),
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.col("status"),
+        )
+
+    return q
+
+
+_ORACLE_ROUNDTRIP = f"""
+SELECT doc_id,
+       CASE WHEN length({_NORM_SQL}) >= 25 THEN {_NORM_SQL} ELSE '' END
+           AS extracted_text,
+       CAST(3 AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN length({_NORM_SQL}) >= 25 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_kept,
+       CASE WHEN length({_NORM_SQL}) >= 25 THEN 'ok' ELSE 'empty' END AS status
+FROM documents
+"""
+
+
+def _q_detect_blocks_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.pipeline import detect
+
+    pages = pages_from_documents(spark, sf_dir)
+    blocks = detect(pages, num_parts=8).filter("block_id >= 0")
+    return blocks.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("block_id").cast("bigint").alias("block_id"),
+        F.col("tag"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_link_chars").cast("bigint").alias("n_link_chars"),
+    )
+
+
+_ORACLE_BLOCKS = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents)
+SELECT doc_id, CAST(0 AS BIGINT) AS block_id, 'nav' AS tag,
+       CAST(9 AS BIGINT) AS n_chars, CAST(8 AS BIGINT) AS n_link_chars
+FROM norm
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), 'p', CAST(length(n) AS BIGINT), CAST(0 AS BIGINT)
+FROM norm WHERE length(n) > 0
+UNION ALL
+SELECT doc_id, CAST(CASE WHEN length(n) > 0 THEN 2 ELSE 1 END AS BIGINT),
+       'footer', CAST(5 AS BIGINT), CAST(5 AS BIGINT)
+FROM norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — SQL-expressible operator families (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def _sql_query(spark_sql: str, *tables: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir, *tables)
+        return spark.sql(spark_sql)
+
+    return q
+
+
+# A1/F4 coverage counters
+_SQL_COVERAGE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+       CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+# A3/C1/C2 routing tally (codepoint-class histogram per source)
+_SQL_ROUTING = r"""
+SELECT source,
+       CAST(sum(CASE WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 1 ELSE 0 END) AS BIGINT) AS n_rtl,
+       CAST(sum(CASE WHEN regexp_matches(text, '[A-Za-z]')
+                      AND NOT regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 1 ELSE 0 END) AS BIGINT) AS n_ltr,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+_SQL_ROUTING_SPARK = r"""
+SELECT source,
+       CAST(sum(CASE WHEN text rlike '[؀-ۿ]' THEN 1 ELSE 0 END) AS BIGINT) AS n_rtl,
+       CAST(sum(CASE WHEN text rlike '[A-Za-z]'
+                      AND NOT text rlike '[؀-ۿ]' THEN 1 ELSE 0 END) AS BIGINT) AS n_ltr,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+# W1 reading-order row_number
+_SQL_READING_ORDER = """
+SELECT source, doc_id, rn FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+  FROM documents) t
+WHERE rn <= 3
+"""
+
+# A4 ordered reassembly (Spark: array_sort(collect_list(struct)) — never bare
+# collect_list order; DuckDB: string_agg ORDER BY)
+_SQL_REASSEMBLY_SPARK = """
+SELECT source,
+       array_join(transform(array_sort(collect_list(struct(doc_id, text))),
+                            x -> x.text), '\n') AS combined,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+_SQL_REASSEMBLY_DUCK = """
+SELECT source, string_agg(text, chr(10) ORDER BY doc_id) AS combined,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+# W3 sessionization (lag + gap > 30min + cumsum)
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - CAST(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+_SQL_SESSIONIZE_SPARK = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN unix_timestamp(ts)
+                   - unix_timestamp(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+# J3 resume anti-join (pages LEFT ANTI JOIN done ON url)
+_SQL_ANTI_SPARK = """
+SELECT d.doc_id, d.lang FROM documents d
+LEFT ANTI JOIN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) done
+ON d.doc_id = done.doc_id
+"""
+_SQL_ANTI_DUCK = """
+SELECT d.doc_id, d.lang FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM documents x WHERE x.doc_id % 7 = 0 AND x.doc_id = d.doc_id)
+"""
+
+# A7 page-failure rollup
+_SQL_FAILURE_ROLLUP = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       CAST(max(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS any_ok
+FROM documents GROUP BY source
+"""
+
+# F2 size filter + A6 max extent
+_SQL_SIZE_FILTER = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+WHERE n_chars BETWEEN 100 AND 300 AND lang = 'en'
+"""
+_SQL_MAX_EXTENT = """
+SELECT lang, CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars
+FROM documents GROUP BY lang
+"""
+
+# Event-time tumbling window rollup (batch form of streaming windowed agg)
+_SQL_WINDOW_ROLLUP_SPARK = """
+SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+_SQL_WINDOW_ROLLUP_DUCK = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+# Exact dedup: hash-groupBy, keep min doc_id per content hash
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+# Shared shingle CTE (token 3-grams) — structurally identical in both engines.
+_SHINGLES_SPARK = """
+WITH tok AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
+"""
+_SHINGLES_DUCK = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
+"""
+
+# MinHash signatures: 8 md5-family hashes, lexicographic min (SURVEY training
+# ops; signature equality is the LSH band key)
+_MINHASH_BODY = """
+SELECT doc_id,
+       min(md5('0:' || shingle)) AS sig0, min(md5('1:' || shingle)) AS sig1,
+       min(md5('2:' || shingle)) AS sig2, min(md5('3:' || shingle)) AS sig3,
+       min(md5('4:' || shingle)) AS sig4, min(md5('5:' || shingle)) AS sig5,
+       min(md5('6:' || shingle)) AS sig6, min(md5('7:' || shingle)) AS sig7
+FROM shingles GROUP BY doc_id
+"""
+
+# MinHash-LSH candidate pairs: 4 bands x 2 rows; a pair is a candidate if any
+# band signature matches.
+_MINHASH_PAIRS_BODY = """
+, sig AS (%s)
+, bands AS (
+  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig UNION ALL
+  SELECT doc_id, 1, sig2 || sig3 FROM sig UNION ALL
+  SELECT doc_id, 2, sig4 || sig5 FROM sig UNION ALL
+  SELECT doc_id, 3, sig6 || sig7 FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+""" % _MINHASH_BODY
+
+# n-gram Jaccard near-dup pairs over a bounded candidate set
+_JACCARD_BODY = """
+, ds AS (SELECT DISTINCT doc_id, shingle FROM shingles WHERE doc_id < 150)
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ds GROUP BY doc_id)
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
+"""
+
+# SimHash-style fingerprint: 16 hex-digit dimensions of md5(token), majority bit
+_SIMHASH_SPARK = """
+WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+dims AS (
+  SELECT doc_id, count(*) AS n, %s
+  FROM h GROUP BY doc_id)
+SELECT doc_id, %s AS fingerprint FROM dims
+""" % (
+    ", ".join(
+        f"sum(cast(conv(substring(m, {p}, 1), 16, 10) as bigint)) AS d{p}"
+        for p in range(1, 17)
+    ),
+    " || ".join(
+        f"CASE WHEN 2 * d{p} >= 15 * n THEN '1' ELSE '0' END" for p in range(1, 17)
+    ),
+)
+_SIMHASH_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+dims AS (
+  SELECT doc_id, count(*) AS n, %s
+  FROM h GROUP BY doc_id)
+SELECT doc_id, %s AS fingerprint FROM dims
+""" % (
+    ", ".join(
+        f"sum(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1) AS d{p}"
+        for p in range(1, 17)
+    ),
+    " || ".join(
+        f"CASE WHEN 2 * d{p} >= 15 * n THEN '1' ELSE '0' END" for p in range(1, 17)
+    ),
+)
+
+# Embedding brute-force cosine top-k (ANN baseline)
+_TOPK_SPARK = """
+WITH q AS (SELECT vec_id AS query_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+         aggregate(zip_with(q.e, c.e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)
+         / (sqrt(aggregate(transform(q.e, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))
+            * sqrt(aggregate(transform(c.e, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))) AS sim
+  FROM q CROSS JOIN c)
+SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) AS DOUBLE) AS sim_r FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM sims) t
+WHERE rank <= 3
+"""
+_TOPK_DUCK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.e, c.e)
+         / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+  FROM q CROSS JOIN c)
+SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) AS DOUBLE) AS sim_r FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM sims) t
+WHERE rank <= 3
+"""
+
+# Text analysis: heuristic language-ID, quality score, token counts, fingerprint
+_SQL_LANG_ID_SPARK = r"""
+SELECT doc_id,
+       CASE WHEN text rlike '[؀-ۿ]' THEN 'ar'
+            WHEN text rlike '(^| )(the|and|of)( |$)' THEN 'en'
+            WHEN text rlike '(^| )(der|und|das)( |$)' THEN 'de'
+            WHEN text rlike '(^| )(el|la|los)( |$)' THEN 'es'
+            ELSE 'other' END AS lang_guess
+FROM documents
+"""
+_SQL_LANG_ID_DUCK = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\x{0600}-\x{06FF}]') THEN 'ar'
+            WHEN regexp_matches(text, '(^| )(the|and|of)( |$)') THEN 'en'
+            WHEN regexp_matches(text, '(^| )(der|und|das)( |$)') THEN 'de'
+            WHEN regexp_matches(text, '(^| )(el|la|los)( |$)') THEN 'es'
+            ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+_SQL_QUALITY_SPARK = r"""
+SELECT doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(round((length(text) - length(regexp_replace(text, '[.,!?;:]', ''))) * 1.0
+                  / length(text), 4) AS DOUBLE) AS punct_ratio,
+       CAST(round(least(1.0, size(split(text, ' ')) / 100.0), 4) AS DOUBLE) AS len_score
+FROM documents
+"""
+_SQL_QUALITY_DUCK = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+                  / length(text), 4) AS DOUBLE) AS punct_ratio,
+       CAST(round(least(1.0, len(string_split(text, ' ')) / 100.0), 4) AS DOUBLE) AS len_score
+FROM documents
+"""
+
+_SQL_TOKENS_SPARK = r"""
+SELECT doc_id,
+       CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+_SQL_TOKENS_DUCK = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+_SQL_FINGERPRINT_SPARK = r"""
+SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' '))) AS doc_hash FROM documents
+"""
+_SQL_FINGERPRINT_DUCK = r"""
+SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS doc_hash FROM documents
+"""
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: documents.text as a binary payload column run
+    through a mapInPandas feature-extraction stage (decode itself is a
+    deterministic stub — see engine/multimodal.py)."""
+    from engine.multimodal import extract_binary_meta
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return extract_binary_meta(payloads)
+
+
+_SQL_MULTIMODAL_DUCK = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha,
+       CAST(octet_length(text::BLOB) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(text::BLOB) % 480 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries — relational/TPC-H demonstrations (scan, agg, broadcast join, top-k)
+# ---------------------------------------------------------------------------
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(l_extendedprice), 4) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SQL_TPCH_Q3_SPARK = """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       CAST(unix_timestamp(o_orderdate) AS BIGINT) AS orderdate_epoch
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+_SQL_TPCH_Q3_DUCK = """
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the small dims explicitly (SURVEY J3 note: broadcast small
+    sides); big-side customer never shuffles."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).cast("double").alias("avg_acctbal"),
+        )
+    )
+
+
+_SQL_BROADCAST_ROLLUP_DUCK = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(avg(c_acctbal), 4) AS DOUBLE) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction pipeline (SURVEY §2.8/§2.10, M1-M16 recast)
+        "extract_roundtrip": _q_extract_roundtrip("fused"),
+        "extract_roundtrip_staged": _q_extract_roundtrip("staged"),
+        "detect_blocks_features": _q_detect_blocks_features,
+        # aggregations / filters / windows (SURVEY §2.2/§2.4/§2.5)
+        "coverage_counters": _sql_query(_SQL_COVERAGE, "documents"),
+        "routing_tally": _sql_query(_SQL_ROUTING_SPARK, "documents"),
+        "reading_order": _sql_query(_SQL_READING_ORDER, "documents"),
+        "reassembly": _sql_query(_SQL_REASSEMBLY_SPARK, "documents"),
+        "sessionize": _sql_query(_SQL_SESSIONIZE_SPARK, "events"),
+        "resume_anti_join": _sql_query(_SQL_ANTI_SPARK, "documents"),
+        "page_failure_rollup": _sql_query(_SQL_FAILURE_ROLLUP, "documents"),
+        "size_filter": _sql_query(_SQL_SIZE_FILTER, "documents"),
+        "max_extent": _sql_query(_SQL_MAX_EXTENT, "documents"),
+        "window_rollup": _sql_query(_SQL_WINDOW_ROLLUP_SPARK, "events"),
+        # training-data pipeline operators
+        "dedup_exact": _sql_query(_SQL_DEDUP_EXACT, "documents"),
+        "minhash_signatures": _sql_query(_SHINGLES_SPARK + _MINHASH_BODY, "documents"),
+        "minhash_lsh_pairs": _sql_query(
+            _SHINGLES_SPARK + _MINHASH_PAIRS_BODY, "documents"
+        ),
+        "ngram_jaccard_pairs": _sql_query(_SHINGLES_SPARK + _JACCARD_BODY, "documents"),
+        "simhash_fingerprint": _sql_query(_SIMHASH_SPARK, "documents"),
+        "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
+        "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
+        "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
+        "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
+        "doc_fingerprint": _sql_query(_SQL_FINGERPRINT_SPARK, "documents"),
+        "multimodal_meta": _q_multimodal_meta,
+        # relational demonstrations
+        "tpch_q1": _sql_query(_SQL_TPCH_Q1, "lineitem"),
+        "tpch_q3_top10": _sql_query(
+            _SQL_TPCH_Q3_SPARK, "customer", "orders", "lineitem"
+        ),
+        "broadcast_rollup": _q_broadcast_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_roundtrip": _ORACLE_ROUNDTRIP,
+        "extract_roundtrip_staged": _ORACLE_ROUNDTRIP,
+        "detect_blocks_features": _ORACLE_BLOCKS,
+        "coverage_counters": _SQL_COVERAGE,
+        "routing_tally": _SQL_ROUTING,
+        "reading_order": _SQL_READING_ORDER,
+        "reassembly": _SQL_REASSEMBLY_DUCK,
+        "sessionize": _SQL_SESSIONIZE,
+        "resume_anti_join": _SQL_ANTI_DUCK,
+        "page_failure_rollup": _SQL_FAILURE_ROLLUP,
+        "size_filter": _SQL_SIZE_FILTER,
+        "max_extent": _SQL_MAX_EXTENT,
+        "window_rollup": _SQL_WINDOW_ROLLUP_DUCK,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "minhash_signatures": _SHINGLES_DUCK + _MINHASH_BODY,
+        "minhash_lsh_pairs": _SHINGLES_DUCK + _MINHASH_PAIRS_BODY,
+        "ngram_jaccard_pairs": _SHINGLES_DUCK + _JACCARD_BODY,
+        "simhash_fingerprint": _SIMHASH_DUCK,
+        "embedding_topk": _TOPK_DUCK,
+        "lang_id": _SQL_LANG_ID_DUCK,
+        "quality_score": _SQL_QUALITY_DUCK,
+        "token_count": _SQL_TOKENS_DUCK,
+        "doc_fingerprint": _SQL_FINGERPRINT_DUCK,
+        "multimodal_meta": _SQL_MULTIMODAL_DUCK,
+        "tpch_q1": _SQL_TPCH_Q1,
+        "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,
+        "broadcast_rollup": _SQL_BROADCAST_ROLLUP_DUCK,
+    }
