@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is the extraction pipeline over a ≥20k-doc synthesized
+pages corpus with a skewed size distribution (BASELINE.md protocol); docs/sec
+is reported alongside. Scaling evidence (local[8] vs local[32]) lives in
+BENCH/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def bench_pages_path(n: int) -> str:
+    path = f"/tmp/spark_graft_bench_pages_{n}_v4.parquet"
+    if not os.path.exists(path):
+        from fixtures.gen_pages import gen_rows, write_parquet
+
+        write_parquet(gen_rows(n, seed=42), path)
+    return path
+
+
+def _force(df) -> int:
+    """Fully evaluate a DataFrame (noop sink — no write-side I/O cost)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    import __spark_entry__ as em
+    from engine.pipeline import run_extract
+    from engine.session import get_spark
+
+    spark = get_spark(app_name="spark-extract-bench", master=f"local[{CPUS}]")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+
+    # --- flagship: extraction over the skewed bench corpus ----------------
+    pages_path = bench_pages_path(BENCH_DOCS)
+    pages = spark.read.parquet(pages_path)
+    n_docs = pages.count()
+    # warm-up (JVM/Arrow/python-worker spin-up), small slice
+    _force(run_extract(pages.limit(512), mode="fused"))
+    t0 = time.monotonic()
+    _force(run_extract(pages, mode="fused"))
+    timings["extract_fused"] = round(time.monotonic() - t0, 3)
+    docs_per_sec = round(n_docs / timings["extract_fused"], 1)
+
+    t0 = time.monotonic()
+    _force(run_extract(pages, mode="staged"))
+    timings["extract_staged"] = round(time.monotonic() - t0, 3)
+
+    # --- headline operator queries at SF_DIR ------------------------------
+    qs = em.queries()
+    for name in (
+        "tpch_q1",
+        "tpch_q3_top10",
+        "sessionize",
+        "window_rollup",
+        "dedup_exact",
+        "minhash_signatures",
+        "simhash_fingerprint",
+        "embedding_topk",
+        "quality_score",
+        "broadcast_rollup",
+    ):
+        t0 = time.monotonic()
+        _force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_docs,
+                "extract_docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -64,13 +64,26 @@ array_join(
 """
 
 
+def _prepare(pages: DataFrame, num_parts: int | None) -> DataFrame:
+    """Column-prune (F7) and optionally salt-repartition the pages scan.
+
+    ``num_parts=None`` (default) keeps the scan's own partitioning — ZERO
+    shuffle, the correct plan at 100 TB scale (raw html never crosses the
+    wire; skew is handled by input-split sizing + giant-block chunking inside
+    the segmenter). Passing ``num_parts`` applies the explicit url-salted
+    repartition (engine/salt.py) — useful when upstream partitioning is
+    pathological (one huge file, hot key ranges) at the cost of shuffling
+    the raw bytes once. Both produce byte-identical output (invariance tests).
+    """
+    df = pages.select("url", "warc_ts", "html", "lang")
+    if num_parts is not None:
+        df = salted_repartition(df, num_parts)
+    return df
+
+
 def detect(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
     """Stage 1 as a standalone DataFrame (the `blocks` intermediate table)."""
-    if num_parts is None:
-        num_parts = pages.sparkSession.sparkContext.defaultParallelism
-    salted = salted_repartition(pages, num_parts)
-    pruned = salted.select("url", "warc_ts", "html", "lang")  # F7 column pruning
-    return pruned.mapInPandas(detect_blocks, schema=BLOCKS_SCHEMA)
+    return _prepare(pages, num_parts).mapInPandas(detect_blocks, schema=BLOCKS_SCHEMA)
 
 
 def run_staged(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
@@ -99,11 +112,9 @@ def run_staged(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
 
 
 def run_fused(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
-    if num_parts is None:
-        num_parts = pages.sparkSession.sparkContext.defaultParallelism
-    salted = salted_repartition(pages, num_parts)
-    pruned = salted.select("url", "warc_ts", "html", "lang")
-    return pruned.mapInPandas(extract_fused, schema=EXTRACTED_CORE_SCHEMA)
+    return _prepare(pages, num_parts).mapInPandas(
+        extract_fused, schema=EXTRACTED_CORE_SCHEMA
+    )
 
 
 def run_extract(

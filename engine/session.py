@@ -12,9 +12,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Binary html rows are big; keep Arrow batches small so a batch of giant
-# pages fits comfortably in the Python worker (O6 analog at batch level).
-ARROW_BATCH_ROWS = 512
+# Binary html rows are big; keep Arrow batches small so (a) a batch of giant
+# pages fits comfortably in the Python worker and (b) the JVM serializer and
+# the Python worker pipeline tightly instead of alternating on big chunks
+# (O6 analog at batch level; measured ~3-4x throughput vs 512-row batches on
+# the skewed bench corpus). Overridable via SPARK_ARROW_BATCH.
+ARROW_BATCH_ROWS = int(os.environ.get("SPARK_ARROW_BATCH", "128"))
 
 
 def get_spark(

@@ -186,11 +186,10 @@ def gen_rows(n: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def write_parquet(rows: list[dict], out_path: str) -> None:
+def _to_table(rows: list[dict]):
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    table = pa.table(
+    return pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),
             "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us", tz="UTC")),
@@ -199,7 +198,27 @@ def write_parquet(rows: list[dict], out_path: str) -> None:
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
         }
     )
-    pq.write_table(table, out_path)
+
+
+def write_parquet(rows: list[dict], out_path: str, files: int | None = None) -> None:
+    """Write rows as parquet. Small corpora -> one file; larger corpora ->
+    a multi-file dataset directory so the Spark scan parallelizes (one
+    single-row-group file = one unsplittable task — the serial-scan trap)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if files is None:
+        files = 1 if len(rows) <= 2000 else min(128, max(32, len(rows) // 625))
+    if files <= 1:
+        pq.write_table(_to_table(rows), out_path)
+        return
+    os.makedirs(out_path, exist_ok=True)
+    chunk = (len(rows) + files - 1) // files
+    for i in range(files):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if part:
+            pq.write_table(_to_table(part), f"{out_path}/part-{i:04d}.parquet")
 
 
 def compute_goldens(rows: list[dict]) -> list[dict]:

@@ -49,4 +49,4 @@ def test_salt_is_deterministic_and_isolates_giants(spark, pages_small_path):
     if giants.count() > 0:
         assert giants.filter(F.col("salt") < 8).count() == 0  # giant domain only
     reparted = salted_repartition(pages, 8)
-    assert reparted.rdd.getNumPartitions() == 8 + 2
+    assert reparted.rdd.getNumPartitions() == 8 + 8  # normal + giant domains
