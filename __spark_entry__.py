@@ -431,6 +431,89 @@ SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) AS DOUBLE) AS sim_r FROM 
 WHERE rank <= 3
 """
 
+# Embedding near-duplicate pairs (dedup family: embedding-cosine variant)
+_NEARDUP_SPARK = """
+WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)
+         / (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))
+            * sqrt(aggregate(transform(b.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(round(sim, 4) AS DOUBLE) AS sim_r
+FROM p WHERE sim >= 0.35
+"""
+_NEARDUP_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(round(sim, 4) AS DOUBLE) AS sim_r
+FROM p WHERE sim >= 0.35
+"""
+
+# ANN scale path: random-hyperplane LSH bucketing. The 8 hyperplanes are
+# DETERMINISTIC ±1 vectors derived from md5 (computed in Python, injected as
+# array literals into BOTH engines — no in-engine float hashing). Same-bucket
+# pairs are the candidate set; exact cosine re-ranks candidates. At scale the
+# bucket column is the shuffle key (candidates co-locate; no all-pairs join).
+import hashlib as _hashlib  # noqa: E402
+
+_ANN_DIM = 64
+_ANN_PLANES = [
+    [
+        1.0
+        if int(_hashlib.md5(f"plane:{p}:dim:{j}".encode()).hexdigest()[0], 16) >= 8
+        else -1.0
+        for j in range(_ANN_DIM)
+    ]
+    for p in range(8)
+]
+
+
+def _plane_lit_spark(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + ")"
+
+
+def _plane_lit_duck(plane: list[float]) -> str:
+    return "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
+
+
+_BUCKET_SPARK = " || ".join(
+    "CASE WHEN aggregate(zip_with(v, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) >= 0 THEN '1' ELSE '0' END"
+    % _plane_lit_spark(pl)
+    for pl in _ANN_PLANES
+)
+_BUCKET_DUCK = " || ".join(
+    "CASE WHEN list_dot_product(v, %s) >= 0 THEN '1' ELSE '0' END" % _plane_lit_duck(pl)
+    for pl in _ANN_PLANES
+)
+
+_ANN_LSH_SPARK = f"""
+WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {_BUCKET_SPARK} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
+       CAST(round(
+         aggregate(zip_with(a.v, c.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)
+         / (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))
+            * sqrt(aggregate(transform(c.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))), 4)
+       AS DOUBLE) AS sim_r
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+"""
+_ANN_LSH_DUCK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_BUCKET_DUCK} AS bucket FROM e)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
+       CAST(round(list_dot_product(a.v, c.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
+       AS DOUBLE) AS sim_r
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+"""
+
 # Text analysis: heuristic language-ID, quality score, token counts, fingerprint
 _SQL_LANG_ID_SPARK = r"""
 SELECT doc_id,
@@ -608,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _sql_query(_SHINGLES_SPARK + _JACCARD_BODY, "documents"),
         "simhash_fingerprint": _sql_query(_SIMHASH_SPARK, "documents"),
         "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
+        "embedding_near_dup": _sql_query(_NEARDUP_SPARK, "embeddings"),
+        "ann_lsh_candidates": _sql_query(_ANN_LSH_SPARK, "embeddings"),
         "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
         "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
@@ -643,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SHINGLES_DUCK + _JACCARD_BODY,
         "simhash_fingerprint": _SIMHASH_DUCK,
         "embedding_topk": _TOPK_DUCK,
+        "embedding_near_dup": _NEARDUP_DUCK,
+        "ann_lsh_candidates": _ANN_LSH_DUCK,
         "lang_id": _SQL_LANG_ID_DUCK,
         "quality_score": _SQL_QUALITY_DUCK,
         "token_count": _SQL_TOKENS_DUCK,
