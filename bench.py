@@ -54,14 +54,18 @@ def main() -> None:
     n_docs = pages.count()
     # warm-up (JVM/Arrow/python-worker spin-up), small slice
     _force(run_extract(pages.limit(512), mode="fused"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
     t0 = time.monotonic()
     _force(run_extract(pages, mode="fused"))
     timings["extract_fused"] = round(time.monotonic() - t0, 3)
     docs_per_sec = round(n_docs / timings["extract_fused"], 1)
 
+    # staged ships tiny block rows -> big Arrow batches win (see engine/stages.py)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
     t0 = time.monotonic()
     _force(run_extract(pages, mode="staged"))
     timings["extract_staged"] = round(time.monotonic() - t0, 3)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
 
     # --- headline operator queries at SF_DIR ------------------------------
     qs = em.queries()

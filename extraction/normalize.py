@@ -55,9 +55,16 @@ def dedup_arabic_runs(text: str) -> str:
 
 
 def normalize_rtl(text: str) -> str:
-    deduped = dedup_arabic_runs(text)
-    kept = "".join(ch for ch in deduped if _rtl_keep(ch))
-    return collapse_ws(kept)
+    # Order: keep-set FIRST, then duplicate-collapse, then whitespace.
+    # (The reference runs dedup first, post_process.py:90-116; running the
+    # keep-set first makes the chain idempotent — dropped characters can
+    # join two identical Arabic letters into a run that a pre-filter dedup
+    # would miss, e.g. 'ا;ا' → 'اا'. Idempotence means re-running stage 2
+    # over already-normalized text is a no-op, which checkpoint resume
+    # relies on. Property-tested in tests/test_properties.py.)
+    kept = "".join(ch for ch in text if _rtl_keep(ch))
+    deduped = dedup_arabic_runs(kept)
+    return collapse_ws(deduped)
 
 
 def normalize_ltr(text: str) -> str:
