@@ -1,0 +1,104 @@
+"""Structured Streaming layer — incremental extraction.
+
+The reference is strictly batch (SURVEY.md §2.9); the engine's incremental
+behavior is resume-by-anti-join (J3/J4). This module provides the same
+semantics as a Structured Streaming job: ``readStream`` over the pages
+directory → the SAME fused extraction stage → parquet sink with checkpoint,
+under ``Trigger.AvailableNow`` — each invocation processes exactly the files
+that arrived since the last checkpoint and terminates. Byte-identity is
+unchanged because the streaming plan calls the identical ``extract_fused``
+Arrow stage.
+
+Also included: a watermarked event-time tumbling-window aggregation over an
+events stream (late data dropped past the watermark) — the streaming form of
+the batch ``window_rollup`` query in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from engine.stages import EXTRACTED_CORE_SCHEMA, extract_fused
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def incremental_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream0",
+):
+    """Process all not-yet-seen page files, then stop (Trigger.AvailableNow).
+
+    Returns the finished StreamingQuery. Re-invoking after new files land in
+    ``pages_dir`` processes only the new files (checkpointed source log) —
+    the streaming twin of ``tableio.remaining`` + ``merge_by_url``.
+    """
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    extracted = (
+        pages.select("url", "warc_ts", "html", "lang")
+        .mapInPandas(extract_fused, schema=EXTRACTED_CORE_SCHEMA)
+        .withColumn("part_id", F.spark_partition_id())
+        .withColumn("lineage", F.lit(run_id))
+    )
+    query = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Event-time tumbling window counts with a watermark (late-data bound).
+
+    Works on both a static events DataFrame and a streaming one; with a
+    stream, rows later than ``watermark`` past the max seen event time are
+    dropped and finalized windows are emitted in append mode.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("hour_epoch"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+def incremental_event_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    events_schema: T.StructType,
+):
+    """Streaming windowed rollup with watermark, AvailableNow, append mode."""
+    stream = spark.readStream.schema(events_schema).parquet(events_dir)
+    rolled = windowed_event_counts(stream)
+    query = (
+        rolled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,61 @@
+"""Structured Streaming: incremental extraction must (a) process only new
+files per invocation (checkpointed AvailableNow), (b) produce bytes identical
+to the batch pipeline over the union of all files."""
+
+from __future__ import annotations
+
+import os
+
+from fixtures.gen_pages import compute_goldens, gen_rows, write_parquet
+
+from engine.streaming import incremental_extract
+
+
+def test_incremental_extract_matches_batch_goldens(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    os.makedirs(pages_dir)
+
+    rows = gen_rows(60, seed=11)
+    first, second = rows[:40], rows[40:]
+    write_parquet(first, f"{pages_dir}/batch0.parquet")
+
+    incremental_extract(spark, pages_dir, out_dir, cp_dir, run_id="s1")
+    got1 = spark.read.parquet(out_dir)
+    assert got1.count() == 40
+
+    # new files land; second invocation processes ONLY them
+    write_parquet(second, f"{pages_dir}/batch1.parquet")
+    incremental_extract(spark, pages_dir, out_dir, cp_dir, run_id="s2")
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 60
+    assert final.filter("lineage = 's2'").count() == 20  # only the new files
+    assert final.groupBy("url").count().filter("count > 1").count() == 0
+
+    goldens = {g["url"]: g["extracted_text"] for g in compute_goldens(rows)}
+    got = {r["url"]: r["extracted_text"] for r in final.collect()}
+    assert got == goldens  # byte-identical to the batch oracle
+
+
+def test_windowed_event_counts_matches_batch_sql(spark):
+    from engine.streaming import windowed_event_counts
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["hour_epoch"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    events.createOrReplaceTempView("events")
+    exp = {
+        (r["hour_epoch"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql(
+            """
+            SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+            """
+        ).collect()
+    }
+    assert got == exp
