@@ -30,13 +30,22 @@ def main() -> None:
     ap.add_argument("--parts", type=int, default=None,
                     help="enable url-salted repartition with this many parts "
                          "(default: scan partitioning, zero shuffle)")
-    ap.add_argument("--warmup", type=int, default=512)
+    ap.add_argument("--warmup", type=int, default=2048)
     args = ap.parse_args()
 
     cores = int(args.master[args.master.find("[") + 1 : args.master.find("]")])
     parts = args.parts
 
-    spark = get_spark(app_name=f"throughput-{cores}", master=args.master)
+    # fine-grained input splits at every level so low-core runs don't suffer
+    # coarse-wave imbalance (default split target scales with cores)
+    spark = get_spark(
+        app_name=f"throughput-{cores}",
+        master=args.master,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     pages = spark.read.parquet(args.pages)
     n = pages.count()
 

@@ -197,15 +197,25 @@ def _chunk_text(text: str) -> list[str]:
     return [c for c in chunks if c]
 
 
-def segment_blocks(html: str) -> list[Block]:
+def segment_blocks(html: str, engine: str = "fast") -> list[Block]:
     """Parse an HTML string into DOM-ordered candidate blocks with features.
 
-    Never raises on malformed markup: stdlib ``html.parser`` is tolerant and
-    the segmenter is defensive; a hard parser failure surfaces to the caller
-    (``extract_document`` converts it into a ``status='error:...'`` row).
+    Never raises on malformed markup; a hard parser failure surfaces to the
+    caller (``extract_document`` converts it into a ``status='error:...'``
+    row).
+
+    ``engine='fast'`` (default) drives the segmenter with the lean scanner
+    (``extraction.fastscan``); ``engine='stdlib'`` uses
+    ``html.parser.HTMLParser`` — the reference implementation the fast path
+    is differential-tested against (tests/test_fastscan.py).
     """
     seg = _Segmenter()
-    seg.feed(html)
-    seg.close()
+    if engine == "fast":
+        from extraction.fastscan import scan
+
+        scan(html, seg)
+    else:
+        seg.feed(html)
+        seg.close()
     seg._flush()
     return seg.blocks

@@ -65,6 +65,18 @@ def test_route_total_and_normalize_idempotent(text, lang):
     assert "  " not in once
 
 
+@given(_texty)
+@settings(max_examples=300, deadline=None)
+def test_fast_paths_match_reference_implementations(text):
+    """The compiled-regex fast paths must be char-for-char identical to the
+    per-codepoint reference implementations (H2 semantics pinning)."""
+    from extraction.normalize import _ref_normalize_rtl, normalize_rtl
+    from extraction.routing import _ref_block_route, block_route
+
+    assert normalize_rtl(text) == _ref_normalize_rtl(text)
+    assert block_route(text) == _ref_block_route(text)
+
+
 @given(st.text(alphabet=st.sampled_from("ab "), min_size=0, max_size=1000))
 @settings(max_examples=100, deadline=None)
 def test_segment_blocks_order_and_bounds(body):
