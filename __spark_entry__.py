@@ -35,7 +35,12 @@ _TABLES = (
 
 
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    """Register the requested parquet tables as temp views."""
+    """Register the requested parquet tables as temp views.
+
+    Forces the session timezone to UTC: the parquet timestamps are naive and
+    DuckDB's epoch() treats them as-is, so Spark's epoch conversions must not
+    shift them through a local zone (the driver's session tz is unknown)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for n in names:
         spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
 
@@ -56,6 +61,7 @@ _BODY_EXPR = "substring(text, 1, 20 + cast(doc_id % 300 as int))"
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a deterministic `pages` table from `documents` (Spark-side)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").cast("string").alias("url"),
@@ -267,6 +273,43 @@ _SQL_MAX_EXTENT = """
 SELECT lang, CAST(max(n_chars) AS BIGINT) AS max_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars
 FROM documents GROUP BY lang
+"""
+
+# Frame-spec running total (rowsBetween unboundedPreceding..current)
+_SQL_RUNNING_TOTAL = """
+SELECT event_id,
+       CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+            AS DOUBLE) AS running
+FROM events WHERE user_id < 10
+"""
+
+# Ranking family: rank/dense_rank over value (ties share rank — deterministic
+# per event_id), ntile over a fully-ordered key
+_SQL_RANKS = """
+SELECT event_id,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events WHERE user_id < 5
+"""
+
+# Set operations: INTERSECT / EXCEPT with a tag column
+_SQL_SET_OPS = """
+SELECT 'both' AS tag, doc_id FROM
+  (SELECT doc_id FROM documents WHERE lang = 'en'
+   INTERSECT SELECT doc_id FROM documents WHERE n_chars > 200) t
+UNION ALL
+SELECT 'en_only', doc_id FROM
+  (SELECT doc_id FROM documents WHERE lang = 'en'
+   EXCEPT SELECT doc_id FROM documents WHERE n_chars > 200) u
+"""
+
+# CUBE grouping (multi-level rollup with NULL indicators)
+_SQL_CUBE = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY CUBE(lang, source)
 """
 
 # Event-time tumbling window rollup (batch form of streaming windowed agg)
@@ -682,6 +725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_filter": _sql_query(_SQL_SIZE_FILTER, "documents"),
         "max_extent": _sql_query(_SQL_MAX_EXTENT, "documents"),
         "window_rollup": _sql_query(_SQL_WINDOW_ROLLUP_SPARK, "events"),
+        "running_total": _sql_query(_SQL_RUNNING_TOTAL, "events"),
+        "rank_family": _sql_query(_SQL_RANKS, "events"),
+        "set_ops": _sql_query(_SQL_SET_OPS, "documents"),
+        "cube_rollup": _sql_query(_SQL_CUBE, "documents"),
         # training-data pipeline operators
         "dedup_exact": _sql_query(_SQL_DEDUP_EXACT, "documents"),
         "minhash_signatures": _sql_query(_SHINGLES_SPARK + _MINHASH_BODY, "documents"),
@@ -722,6 +769,10 @@ def oracle_sql() -> dict[str, str]:
         "size_filter": _SQL_SIZE_FILTER,
         "max_extent": _SQL_MAX_EXTENT,
         "window_rollup": _SQL_WINDOW_ROLLUP_DUCK,
+        "running_total": _SQL_RUNNING_TOTAL,
+        "rank_family": _SQL_RANKS,
+        "set_ops": _SQL_SET_OPS,
+        "cube_rollup": _SQL_CUBE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signatures": _SHINGLES_DUCK + _MINHASH_BODY,
         "minhash_lsh_pairs": _SHINGLES_DUCK + _MINHASH_PAIRS_BODY,
