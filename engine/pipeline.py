@@ -16,15 +16,16 @@ form of ``_process_one_page`` (``bilingual_ocr.py:126-211``). It is the
 throughput path; staged mode exists for block-level inspection/metrics and to
 *prove* the shuffle-bearing plan produces identical bytes (golden test).
 
-Reassembly (staged) is pure JVM: ``array_sort(collect_list(struct(...)))``
-sorts by ``block_id`` *inside* the aggregate, so the result is independent of
-partitioning and row order (SURVEY.md §7.3 H1); span offsets are prefix sums
-via ``aggregate()`` — both stay in WholeStageCodegen.
+Reassembly (staged) is pure JVM: span offsets are an O(n) window prefix-sum
+(`sum over (partition by url order by block_id rows unbounded preceding..-1)`)
+and ``array_sort(collect_list(struct(...)))`` sorts by ``block_id`` *inside*
+the aggregate, so the result is independent of partitioning and row order
+(SURVEY.md §7.3 H1).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from engine.salt import salted_repartition
 from engine.stages import (
@@ -39,20 +40,14 @@ from engine.stages import (
 
 PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
 
+# Span offsets are an O(n) window prefix-sum BEFORE the groupBy (same `url`
+# key, so Catalyst plans a single exchange for window+agg). The obvious
+# alternative — aggregate() appending to an accumulator array inside the agg —
+# is O(n²) per group (array copy per element): measured 104s of a 117s run on
+# giant 1500-block documents; the window form runs the same corpus in ~13s.
 _SPANS_AGG = """
-aggregate(
-  filter(array_sort(collect_list(struct(block_id, lang, norm_text))),
-         x -> x.block_id >= 0),
-  struct(0 as pos,
-         cast(array() as array<struct<block_id:int,start:int,end:int,lang:string>>) as spans),
-  (acc, x) -> struct(
-      acc.pos + length(x.norm_text) + 1 as pos,
-      acc.spans || array(struct(x.block_id as block_id,
-                                acc.pos as start,
-                                acc.pos + length(x.norm_text) as `end`,
-                                x.lang as lang)) as spans),
-  acc -> acc.spans
-)
+array_sort(collect_list(CASE WHEN block_id >= 0
+  THEN struct(block_id, start, `end`, lang) END))
 """
 
 _TEXT_AGG = """
@@ -93,11 +88,20 @@ def run_staged(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
         "url", "warc_ts", "block_id", "text", "lang", "doc_n_blocks", "doc_status"
     ).mapInPandas(recognize_blocks, schema=RECOGNIZED_SCHEMA)
     nonempty = recognized.filter("block_id = -1 OR length(norm_text) > 0")
-    assembled = nonempty.groupBy("url", "warc_ts").agg(
+    w = (
+        Window.partitionBy("url")
+        .orderBy("block_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.when(F.col("block_id") >= 0, F.length("norm_text") + 1).otherwise(0)
+    with_offsets = nonempty.withColumn(
+        "start", F.coalesce(F.sum(contrib).over(w), F.lit(0)).cast("int")
+    ).withColumn("end", (F.col("start") + F.length("norm_text")).cast("int"))
+    assembled = with_offsets.groupBy("url", "warc_ts").agg(
         F.expr(_TEXT_AGG).alias("extracted_text"),
         F.expr(_SPANS_AGG).alias("spans"),
         F.max("doc_n_blocks").cast("int").alias("n_blocks"),
-        F.expr("size(filter(collect_list(struct(block_id)), x -> x.block_id >= 0))")
+        F.sum(F.when(F.col("block_id") >= 0, 1).otherwise(0))
         .cast("int")
         .alias("n_kept"),
         F.max("doc_status").alias("err_status"),

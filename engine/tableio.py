@@ -52,12 +52,36 @@ def write_table(df: DataFrame, path: str) -> None:
     os.rename(tmp, path)
 
 
+def merge_by_url_iceberg(
+    spark: SparkSession, table_ident: str, updates: DataFrame
+) -> None:
+    """Native Iceberg MERGE INTO (SURVEY.md §2.3 J4) — used when an Iceberg
+    catalog is on the classpath/config (``iceberg_available``); not reachable
+    in this sandbox (no runtime jar), kept as the config-switch target so the
+    fallback below is a drop-in (SURVEY.md §7.3 H5)."""
+    updates.createOrReplaceTempView("_updates")
+    spark.sql(
+        f"""
+        MERGE INTO {table_ident} t
+        USING _updates s
+        ON t.url = s.url
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+
+
 def merge_by_url(spark: SparkSession, target_path: str, updates: DataFrame) -> None:
     """MERGE INTO target USING updates ON url — parquet-fallback emulation.
 
     MATCHED → UPDATE * (update row wins), NOT MATCHED → INSERT *.
     Idempotent: merging the same updates twice equals merging once.
+    Routes to :func:`merge_by_url_iceberg` when ``target_path`` is a catalog
+    table identifier (no '/') and Iceberg is available.
     """
+    if "/" not in target_path and iceberg_available(spark):
+        merge_by_url_iceberg(spark, target_path, updates)
+        return
     existing = read_table(spark, target_path)
     if existing is None:
         write_table(updates, target_path)
