@@ -82,6 +82,75 @@ def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def sessionize_stateful(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    events_schema: T.StructType,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful streaming operator: per-user gap sessionization via
+    ``applyInPandasWithState`` (the engine's example of a stateful op Spark
+    lacks as a built-in). State per user_id = (last_ts_epoch, n_events,
+    n_sessions); a new session starts when the gap exceeds ``gap_seconds``.
+    Under Trigger.AvailableNow each invocation emits the running totals per
+    user seen in that pass; state persists in the checkpoint across
+    invocations, so late-arriving files continue existing sessions."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_epoch", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_epoch, n_events, n_sessions = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        stamps: list[float] = []
+        for pdf in pdfs:
+            stamps.extend(ts.timestamp() for ts in pdf["ts"])
+        stamps.sort()
+        for ts in stamps:
+            if last_epoch is None or ts - last_epoch > gap_seconds:
+                n_sessions += 1
+            n_events += 1
+            last_epoch = ts
+        state.update((last_epoch, n_events, n_sessions))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n_events], "n_sessions": [n_sessions]}
+        )
+
+    stream = spark.readStream.schema(events_schema).parquet(events_dir)
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    query = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def incremental_event_rollup(
     spark: SparkSession,
     events_dir: str,

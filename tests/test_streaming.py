@@ -38,6 +38,33 @@ def test_incremental_extract_matches_batch_goldens(spark, tmp_path):
     assert got == goldens  # byte-identical to the batch oracle
 
 
+def test_stateful_sessionize_matches_batch_query(spark, tmp_path):
+    """The applyInPandasWithState streaming sessionizer must agree with the
+    batch sessionize oracle query over the same events."""
+    import shutil
+
+    import __spark_entry__ as em
+    from engine.streaming import sessionize_stateful
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{events_dir}/e0.parquet")
+
+    schema = spark.read.parquet(f"{events_dir}/e0.parquet").schema
+    sessionize_stateful(
+        spark, events_dir, str(tmp_path / "out"), str(tmp_path / "cp"), schema
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in em.queries()["sessionize"](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == exp
+
+
 def test_windowed_event_counts_matches_batch_sql(spark):
     from engine.streaming import windowed_event_counts
 
