@@ -104,6 +104,9 @@ class _Segmenter(HTMLParser):
 
     # -- flush ------------------------------------------------------------
     def _flush(self) -> None:
+        if not self._pieces:  # nothing buffered (link pieces ⊆ pieces)
+            self._n_tags = 0
+            return
         text = _collapse(self._pieces)
         if text:
             link_text = _collapse(self._link_pieces)
