@@ -678,6 +678,30 @@ LIMIT 10
 """
 
 
+# q5-like multi-join: revenue per nation where supplier and customer share
+# the nation (exercises the full dim chain incl. supplier)
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+# part-dimension rollup (brand/type pricing stats)
+_SQL_PART_ROLLUP = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(round(avg(p_retailprice), 4) AS DOUBLE) AS avg_price,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
 def _q_broadcast_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast the small dims explicitly (SURVEY J3 note: broadcast small
     sides); big-side customer never shuffles."""
@@ -750,6 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top10": _sql_query(
             _SQL_TPCH_Q3_SPARK, "customer", "orders", "lineitem"
         ),
+        "tpch_q5_like": _sql_query(
+            _SQL_TPCH_Q5, "customer", "orders", "lineitem", "supplier", "nation"
+        ),
+        "part_rollup": _sql_query(_SQL_PART_ROLLUP, "part"),
         "broadcast_rollup": _q_broadcast_rollup,
     }
 
@@ -788,5 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,
+        "tpch_q5_like": _SQL_TPCH_Q5,
+        "part_rollup": _SQL_PART_ROLLUP,
         "broadcast_rollup": _SQL_BROADCAST_ROLLUP_DUCK,
     }

@@ -154,6 +154,19 @@ def test_extract_document_empty_and_error_paths():
     assert r2.status in ("empty", "ok")
 
 
+def test_extract_document_error_row_on_bad_payload():
+    """A payload that explodes inside the parse becomes an error row, never
+    an exception (ref skip-don't-crash, bilingual_ocr.py:240-243)."""
+
+    class Evil:
+        def __bool__(self):
+            return True
+
+    r = extract_document("u", Evil(), "en")  # type: ignore[arg-type]
+    assert r.status.startswith("error:")
+    assert r.extracted_text == "" and r.n_kept == 0
+
+
 def test_extract_document_deterministic():
     html = f"<p>{LONG}</p><p>ااا کتاب علم roman</p>".encode()
     a = extract_document("u", html, "")
