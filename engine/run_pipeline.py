@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--emit-blocks",
+        action="store_true",
+        help="also write the stage-1 candidate-blocks table to <out>_blocks "
+        "(SURVEY.md §1.3 intermediate data model)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(master=args.master)
@@ -51,6 +57,10 @@ def main() -> None:
     )
     tableio.merge_by_url(spark, args.out, extracted)
     wall_ms = int((time.monotonic() - t0) * 1000)
+
+    if args.emit_blocks:
+        blocks = pipeline.detect(pages, num_parts=args.parts)
+        tableio.write_table(blocks, f"{args.out}_blocks")
 
     tableio.write_lineage(spark, args.out, args.run_id)
     final = spark.read.parquet(args.out)
