@@ -498,64 +498,102 @@ SELECT vec_a, vec_b, CAST(round(sim, 4) AS DOUBLE) AS sim_r
 FROM p WHERE sim >= 0.35
 """
 
-# ANN scale path: random-hyperplane LSH bucketing. The 8 hyperplanes are
+# ANN scale path: random-hyperplane LSH with banding (OR-amplification).
+# 8 bands × 6 hyperplanes: a pair is a candidate when ALL 6 signs agree in
+# ANY band — P(candidate) = 1-(1-p^6)^8 with p = 1-θ/π, so true near-dups
+# (cos≥0.9, p≈0.86) are caught with ≥0.95 probability while random pairs
+# (p≈0.5) stay ~12% (measured on the seeded data; tests/test_report.py also
+# verifies ≥0.9 recall on planted near-duplicates). The hyperplanes are
 # DETERMINISTIC ±1 vectors derived from md5 (computed in Python, injected as
-# array literals into BOTH engines — no in-engine float hashing). Same-bucket
-# pairs are the candidate set; exact cosine re-ranks candidates. At scale the
-# bucket column is the shuffle key (candidates co-locate; no all-pairs join).
+# array literals into BOTH engines — no in-engine float hashing). At scale
+# (band, key) is the shuffle key: candidates co-locate, no all-pairs join.
 import hashlib as _hashlib  # noqa: E402
 
 _ANN_DIM = 64
+_ANN_BANDS = 8
+_ANN_ROWS = 6
+
+
+def ann_plane(p: int, j: int) -> float:
+    """Deterministic ±1 hyperplane component (shared with tests)."""
+    h = _hashlib.md5(f"plane:{p}:dim:{j}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) >= 8 else -1.0
+
+
 _ANN_PLANES = [
-    [
-        1.0
-        if int(_hashlib.md5(f"plane:{p}:dim:{j}".encode()).hexdigest()[0], 16) >= 8
-        else -1.0
-        for j in range(_ANN_DIM)
-    ]
-    for p in range(8)
+    [ann_plane(p, j) for j in range(_ANN_DIM)]
+    for p in range(_ANN_BANDS * _ANN_ROWS)
 ]
 
 
 def _plane_lit_spark(plane: list[float]) -> str:
-    return "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + ")"
+    return "array(" + ",".join(str(int(x)) for x in plane) + ")"
 
 
 def _plane_lit_duck(plane: list[float]) -> str:
-    return "[" + ", ".join(str(x) for x in plane) + "]::DOUBLE[]"
+    return "[" + ",".join(str(int(x)) for x in plane) + "]::DOUBLE[]"
 
 
-_BUCKET_SPARK = " || ".join(
-    "CASE WHEN aggregate(zip_with(v, %s, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) >= 0 THEN '1' ELSE '0' END"
-    % _plane_lit_spark(pl)
-    for pl in _ANN_PLANES
-)
-_BUCKET_DUCK = " || ".join(
-    "CASE WHEN list_dot_product(v, %s) >= 0 THEN '1' ELSE '0' END" % _plane_lit_duck(pl)
-    for pl in _ANN_PLANES
-)
+# Bucket signs are computed on floor(x*1000)-quantized components: the dot
+# product is then exact integer arithmetic in both engines (integer-valued
+# doubles sum exactly in any order), so a near-zero dot can never flip sign
+# between Spark's sequential fold and DuckDB's SIMD summation (observed:
+# 48 planes × 500 vectors produced a handful of flips on raw floats, which
+# diverged the whole candidate set).
+def _band_key_spark(band: int) -> str:
+    return " || ".join(
+        "CASE WHEN aggregate(zip_with(q, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (s, x) -> s + x) >= 0 THEN '1' ELSE '0' END"
+        % _plane_lit_spark(_ANN_PLANES[band * _ANN_ROWS + r])
+        for r in range(_ANN_ROWS)
+    )
 
-_ANN_LSH_SPARK = f"""
-WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-b AS (SELECT vec_id, v, {_BUCKET_SPARK} AS bucket FROM e)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
-       CAST(round(
-         aggregate(zip_with(a.v, c.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)
-         / (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))
-            * sqrt(aggregate(transform(c.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))), 4)
-       AS DOUBLE) AS sim_r
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+
+def _band_key_duck(band: int) -> str:
+    return " || ".join(
+        "CASE WHEN list_dot_product(q, %s) >= 0 THEN '1' ELSE '0' END"
+        % _plane_lit_duck(_ANN_PLANES[band * _ANN_ROWS + r])
+        for r in range(_ANN_ROWS)
+    )
+
+
+def _ann_lsh_sql(dialect: str) -> str:
+    if dialect == "spark":
+        e_cte = ("SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+                 "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS q "
+                 "FROM embeddings")
+        key_fn = _band_key_spark
+        cosine = (
+            "aggregate(zip_with(a.v, c.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+            " / (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"
+            " * sqrt(aggregate(transform(c.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x)))"
+        )
+    else:
+        e_cte = ("SELECT vec_id, embedding::DOUBLE[] AS v, "
+                 "list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS q "
+                 "FROM embeddings")
+        key_fn = _band_key_duck
+        cosine = (
+            "list_dot_product(a.v, c.v)"
+            " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
+        )
+    bands_union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, v, {b} AS band, {key_fn(b)} AS key FROM e"
+        for b in range(_ANN_BANDS)
+    )
+    # `+ 0` normalizes IEEE negative zero (-0.0 + 0 = +0.0): Spark and DuckDB
+    # round tiny negative cosines to differently-signed zeros otherwise.
+    return f"""
+WITH e AS ({e_cte}),
+bands AS ({bands_union})
+SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       CAST(round({cosine}, 4) + 0 AS DOUBLE) AS sim_r
+FROM bands a JOIN bands c
+  ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
 """
-_ANN_LSH_DUCK = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {_BUCKET_DUCK} AS bucket FROM e)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
-       CAST(round(list_dot_product(a.v, c.v)
-         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 4)
-       AS DOUBLE) AS sim_r
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-"""
+
+
+_ANN_LSH_SPARK = _ann_lsh_sql("spark")
+_ANN_LSH_DUCK = _ann_lsh_sql("duck")
 
 # Text analysis: heuristic language-ID, quality score, token counts, fingerprint
 _SQL_LANG_ID_SPARK = r"""

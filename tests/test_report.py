@@ -1,0 +1,75 @@
+"""Evaluation report (evaluation.py analog) totals must agree with goldens,
+and the ANN LSH candidate set must carry measurable recall vs brute force."""
+
+from __future__ import annotations
+
+from engine import pipeline
+from engine.report import evaluation_report
+
+
+def test_evaluation_report_matches_goldens(spark, pages_unit_path, goldens_unit):
+    pages = spark.read.parquet(pages_unit_path)
+    extracted = pipeline.run_extract(pages, num_parts=4, run_id="rep")
+    rep = evaluation_report(extracted, wall_ms=1000)
+
+    assert rep["coverage"]["docs_total"] == 64
+    assert rep["coverage"]["docs_ok"] == sum(
+        1 for g in goldens_unit if g["status"] == "ok"
+    )
+    assert rep["coverage"]["blocks_total"] == sum(g["n_blocks"] for g in goldens_unit)
+    assert rep["coverage"]["blocks_kept"] == sum(g["n_kept"] for g in goldens_unit)
+    assert rep["script_distribution"]["rtl_blocks"] == sum(
+        1 for g in goldens_unit for s in g["spans"] if s["lang"] == "rtl"
+    )
+    assert rep["summary"]["chars_extracted"] == sum(
+        len(g["extracted_text"]) for g in goldens_unit
+    )
+    assert rep["runtime_metrics"]["avg_time_per_doc_ms"] == round(1000 / 64, 2)
+
+
+def test_ann_lsh_recall_and_candidate_ratio(spark):
+    """On the seeded (near-random) embeddings, the 8x6 banded LSH must keep
+    candidates far below all-pairs while recalling a meaningful share of the
+    strong pairs (sim >= 0.4). Values are deterministic (seeded data, md5
+    hyperplanes)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    cand = em.queries()["ann_lsh_candidates"](spark, sf).collect()
+    cand_pairs = {(r["vec_a"], r["vec_b"]) for r in cand}
+    strong = {
+        (r["vec_a"], r["vec_b"])
+        for r in em.queries()["embedding_near_dup"](spark, sf).collect()
+        if r["sim_r"] >= 0.4
+    }
+    n_all_pairs = 500 * 499 / 2
+    assert len(cand_pairs) < 0.2 * n_all_pairs  # sub-quadratic candidate set
+    recall = len(strong & cand_pairs) / max(len(strong), 1)
+    assert recall >= 0.3  # weak-similarity data; see planted test below
+
+
+def test_ann_lsh_scheme_recall_on_planted_near_dups():
+    """The banding scheme itself must recall >=0.9 of PLANTED near-duplicates
+    (cos ~ 0.98) — the regime LSH dedup actually targets. Computed in numpy
+    with the exact md5 hyperplanes the SQL uses."""
+    import numpy as np
+
+    import __spark_entry__ as em
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, em._ANN_DIM))
+    dup = base + 0.08 * rng.normal(size=base.shape)  # cos ~ 0.98
+    planes = np.array(em._ANN_PLANES)  # (bands*rows, dim)
+    qa = np.floor(base * 1000)  # same quantization the SQL applies
+    qb = np.floor(dup * 1000)
+    bits_a = (qa @ planes.T) >= 0
+    bits_b = (qb @ planes.T) >= 0
+    r, b = em._ANN_ROWS, em._ANN_BANDS
+    hit = 0
+    for i in range(len(base)):
+        for band in range(b):
+            s = slice(band * r, (band + 1) * r)
+            if (bits_a[i, s] == bits_b[i, s]).all():
+                hit += 1
+                break
+    assert hit / len(base) >= 0.9
