@@ -25,7 +25,7 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
 
 def bench_pages_path(n: int) -> str:
-    path = f"/tmp/spark_graft_bench_pages_{n}_v4.parquet"
+    path = f"/tmp/spark_graft_bench_pages_{n}_v5.parquet"
     if not os.path.exists(path):
         from fixtures.gen_pages import gen_rows, write_parquet
 

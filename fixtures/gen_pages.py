@@ -45,7 +45,14 @@ _NAV_LINKS = ["home", "about", "blog", "contact", "archive", "topics", "login"]
 def _sentence(rng: random.Random, lo: int = 8, hi: int = 18) -> str:
     n = rng.randint(lo, hi)
     words = [rng.choice(_WORDS) for _ in range(n)]
-    return " ".join(words).capitalize() + "."
+    s = " ".join(words).capitalize() + "."
+    # occasional entities + typographic punctuation (decoded during parse)
+    r = rng.random()
+    if r < 0.08:
+        s = s.replace(" ", " &amp; ", 1).replace(" ", " &lt;tag&gt; ", 1)
+    elif r < 0.12:
+        s = "&#8220;" + s + "&#8221; &mdash; &copy;"
+    return s
 
 
 def _ar_sentence(rng: random.Random, lo: int = 6, hi: int = 14) -> str:
@@ -165,12 +172,18 @@ def gen_rows(n: int, seed: int = 42) -> list[dict]:
         charset = "utf-8"
         html_doc = f'<html><head><meta charset="{charset}"><title>doc {doc_id}</title></head><body>{body}</body></html>'
         data = html_doc.encode("utf-8")
-        # ~3% latin-1 declared subset to exercise decode (FIXTURES.md §1)
+        # ~3% non-UTF8 declared subset to exercise the decode ladder
+        # (FIXTURES.md §1): latin-1 and windows-1252 (€/™ are cp1252-only)
         if t in (0, 1) and rng.random() < 0.06 and lang == "en":
-            html_l1 = html_doc.replace('charset="utf-8"', 'charset="latin-1"')
-            html_l1 = html_l1.replace("</h1>", " café naïve</h1>", 1)
+            cs, py_codec, extra = (
+                ("latin-1", "latin-1", " café naïve")
+                if rng.random() < 0.5
+                else ("windows-1252", "cp1252", " café €9.99 engine™")
+            )
+            html_cs = html_doc.replace('charset="utf-8"', f'charset="{cs}"')
+            html_cs = html_cs.replace("</h1>", extra + "</h1>", 1)
             try:
-                data = html_l1.encode("latin-1")
+                data = html_cs.encode(py_codec)
             except UnicodeEncodeError:
                 data = html_doc.encode("utf-8")
         s = doc_id % 97
