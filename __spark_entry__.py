@@ -312,6 +312,55 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
 FROM documents GROUP BY CUBE(lang, source)
 """
 
+# Pivot: per-user event-type count matrix (Spark side uses the DataFrame
+# pivot; oracle expresses the same with conditional aggregation)
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "events")
+    events = spark.table("events").filter("user_id < 20")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    cols = [F.col("user_id")] + [
+        F.col(t).cast("bigint").alias(t) for t in _EVENT_TYPES
+    ]
+    return pivoted.select(*cols)
+
+
+_SQL_PIVOT_DUCK = "SELECT user_id, " + ", ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+    for t in _EVENT_TYPES
+) + " FROM events WHERE user_id < 20 GROUP BY user_id"
+
+# Exact interpolated percentile (Spark percentile == DuckDB quantile_cont)
+_SQL_PERCENTILE_SPARK = """
+SELECT event_type,
+       CAST(round(percentile(value, 0.5), 4) AS DOUBLE) AS median_value,
+       CAST(round(percentile(value, 0.9), 4) AS DOUBLE) AS p90_value
+FROM events GROUP BY event_type
+"""
+_SQL_PERCENTILE_DUCK = """
+SELECT event_type,
+       CAST(round(quantile_cont(value, 0.5), 4) AS DOUBLE) AS median_value,
+       CAST(round(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+# Sketch op (HLL): no cross-engine oracle exists (different sketch impls), so
+# this is a rows-only check by design — the exact distinct count is returned
+# alongside so the sketch error is visible in the result itself.
+_SQL_SKETCH_SPARK = """
+SELECT event_type,
+       CAST(approx_count_distinct(user_id) AS BIGINT) AS approx_users,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY event_type
+"""
+
 # Event-time tumbling window rollup (batch form of streaming windowed agg)
 _SQL_WINDOW_ROLLUP_SPARK = """
 SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -787,6 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_filter": _sql_query(_SQL_SIZE_FILTER, "documents"),
         "max_extent": _sql_query(_SQL_MAX_EXTENT, "documents"),
         "window_rollup": _sql_query(_SQL_WINDOW_ROLLUP_SPARK, "events"),
+        "pivot_event_counts": _q_pivot,
+        "percentiles": _sql_query(_SQL_PERCENTILE_SPARK, "events"),
+        "sketch_distinct_users": _sql_query(_SQL_SKETCH_SPARK, "events"),
         "running_total": _sql_query(_SQL_RUNNING_TOTAL, "events"),
         "rank_family": _sql_query(_SQL_RANKS, "events"),
         "set_ops": _sql_query(_SQL_SET_OPS, "documents"),
@@ -835,6 +887,10 @@ def oracle_sql() -> dict[str, str]:
         "size_filter": _SQL_SIZE_FILTER,
         "max_extent": _SQL_MAX_EXTENT,
         "window_rollup": _SQL_WINDOW_ROLLUP_DUCK,
+        "pivot_event_counts": _SQL_PIVOT_DUCK,
+        "percentiles": _SQL_PERCENTILE_DUCK,
+        # sketch_distinct_users intentionally has NO oracle (HLL impls differ
+        # across engines); driver records the weaker rows-only check.
         "running_total": _SQL_RUNNING_TOTAL,
         "rank_family": _SQL_RANKS,
         "set_ops": _SQL_SET_OPS,
