@@ -67,3 +67,64 @@ def _binary_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 def extract_binary_meta(df: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> typed metadata via Arrow batches."""
     return df.mapInPandas(_binary_meta_batches, schema=META_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, thumb binary, thumb_sha string"
+)
+
+
+def _resize_batches(target_w: int, target_h: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                   "thumb": [], "thumb_sha": []}
+            for p in pdf["payload"]:
+                p = p or b""
+                # STUB resize: a real impl decodes + PIL.resize; the fake is
+                # deterministic byte downsampling so the batch shape, binary
+                # output column, and partition behavior are all real.
+                stride = max(1, len(p) // (target_w * target_h))
+                thumb = p[::stride][: target_w * target_h]
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["thumb"].append(thumb)
+                out["thumb_sha"].append(hashlib.sha256(thumb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """(doc_id, payload) -> deterministic fake thumbnails (decode stubbed)."""
+    return df.mapInPandas(_resize_batches(target_w, target_h), schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_sha string, n_bytes bigint"
+
+
+def _frame_sample_batches(every_n: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_sha": [], "n_bytes": []}
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = p or b""
+                # STUB frame-sample (1 row -> N frame rows): a real impl
+                # demuxes video; the fake slices fixed 4 KiB "frames" and
+                # keeps every `every_n`-th — exercising the explode-shaped
+                # output a real frame sampler needs.
+                n_frames = max(1, len(p) // 4096)
+                for i in range(0, n_frames, every_n):
+                    frame = p[i * 4096 : (i + 1) * 4096]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+                    rows["n_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """(doc_id, payload) -> every-Nth fake frame rows (demux stubbed)."""
+    return df.mapInPandas(_frame_sample_batches(every_n), schema=FRAMES_SCHEMA)
