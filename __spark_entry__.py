@@ -725,6 +725,45 @@ FROM documents
 """
 
 
+# Training-data corpus filter: the end-to-end composition a pretraining
+# pipeline runs — language-ID gate + quality thresholds + exact-dedup
+# representative selection, yielding the kept document set.
+_SQL_CORPUS_FILTER = r"""
+WITH quality AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_q,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0
+             / length(text) AS punct_ratio
+  FROM documents),
+reps AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+SELECT q.doc_id,
+       CAST(q.n_chars_q AS BIGINT) AS n_chars_q,
+       CAST(round(q.punct_ratio, 4) AS DOUBLE) AS punct_ratio
+FROM quality q
+JOIN reps r ON r.keep_id = q.doc_id
+WHERE q.n_chars_q >= 100
+  AND q.punct_ratio < 0.1
+  AND NOT regexp_matches(q.text, '[0-9]{8}')
+"""
+_SQL_CORPUS_FILTER_SPARK = r"""
+WITH quality AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_q,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', ''))) * 1.0
+             / length(text) AS punct_ratio
+  FROM documents),
+reps AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text))
+SELECT q.doc_id,
+       CAST(q.n_chars_q AS BIGINT) AS n_chars_q,
+       CAST(round(q.punct_ratio, 4) AS DOUBLE) AS punct_ratio
+FROM quality q
+JOIN reps r ON r.keep_id = q.doc_id
+WHERE q.n_chars_q >= 100
+  AND q.punct_ratio < 0.1
+  AND NOT q.text rlike '[0-9]{8}'
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries — relational/TPC-H demonstrations (scan, agg, broadcast join, top-k)
 # ---------------------------------------------------------------------------
@@ -858,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
         "doc_fingerprint": _sql_query(_SQL_FINGERPRINT_SPARK, "documents"),
+        "corpus_filter": _sql_query(_SQL_CORPUS_FILTER_SPARK, "documents"),
         "multimodal_meta": _q_multimodal_meta,
         # relational demonstrations
         "tpch_q1": _sql_query(_SQL_TPCH_Q1, "lineitem"),
@@ -907,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY_DUCK,
         "token_count": _SQL_TOKENS_DUCK,
         "doc_fingerprint": _SQL_FINGERPRINT_DUCK,
+        "corpus_filter": _SQL_CORPUS_FILTER,
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,
