@@ -5,14 +5,18 @@ Analog of the reference's recognition + post-processing chain:
 - RTL route ~ ``recognize_urdu`` + ``_clean_urdu_text``
   (``urdu_recognition_utrnet.py:132-166``, ``post_process.py:79-116``):
   (1) keep-set character filter — Arabic blocks + whitespace + ZWNJ/ZWJ +
-  a fixed punctuation set + ASCII digits (``post_process.py:99-112``),
-  (2) consecutive-duplicate collapse for Arabic-block letters
-  (``post_process.py:90-95``), (3) whitespace collapse + strip
-  (``post_process.py:115-116``). Keep-set runs FIRST (unlike the reference)
-  so the chain is idempotent — dropped characters can join two identical
-  Arabic letters into a run a pre-filter dedup would miss ('ا;ا' → 'اا');
-  idempotence means re-running stage 2 over normalized text is a no-op,
-  which checkpoint resume relies on (property-tested).
+  the reference's punctuation set (``post_process.py:96-112``), extended
+  here with ASCII digits and ':' (web text keeps numerals; deliberate
+  deviation), (2) consecutive-duplicate collapse (``post_process.py:90-95``)
+  — restricted here to Arabic-block letters, a deliberate deviation: the
+  reference collapses ANY repeated character, which would corrupt Latin
+  words ('bookkeeper'→'bokeper') that web blocks legitimately mix in,
+  (3) whitespace collapse + strip (``post_process.py:115-116``).
+  Chain order also deviates: keep-set runs FIRST so the chain is idempotent
+  — dropped characters can join two identical Arabic letters into a run a
+  pre-filter dedup would miss ('ا;ا' → 'اا'); idempotence means re-running
+  stage 2 over normalized text is a no-op, which checkpoint resume relies
+  on (property-tested).
 - LTR route ~ ``recognize_english`` (``english_ocr_pipeline.py:52-84``):
   entities were already decoded during the parse; normalization is
   whitespace collapse + strip.
