@@ -76,13 +76,25 @@ def _prepare(pages: DataFrame, num_parts: int | None) -> DataFrame:
     return df
 
 
-def detect(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
-    """Stage 1 as a standalone DataFrame (the `blocks` intermediate table)."""
-    return _prepare(pages, num_parts).mapInPandas(detect_blocks, schema=BLOCKS_SCHEMA)
+def detect(
+    pages: DataFrame,
+    num_parts: int | None = None,
+    emit_filtered_text: bool = True,
+) -> DataFrame:
+    """Stage 1 as a standalone DataFrame (the `blocks` intermediate table).
+
+    ``emit_filtered_text=False`` applies the in-UDF threshold pushdown
+    (SURVEY §4 O3): boilerplate block text never crosses the Arrow channel —
+    the staged pipeline uses this since only surviving blocks reach stage 2.
+    """
+    from engine.stages import make_detect_blocks
+
+    fn = detect_blocks if emit_filtered_text else make_detect_blocks(False)
+    return _prepare(pages, num_parts).mapInPandas(fn, schema=BLOCKS_SCHEMA)
 
 
 def run_staged(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
-    blocks = detect(pages, num_parts)
+    blocks = detect(pages, num_parts, emit_filtered_text=False)
     surviving = blocks.filter(F.expr(KEEP_PREDICATE))
     recognized = surviving.select(
         "url", "warc_ts", "block_id", "text", "lang", "doc_n_blocks", "doc_status"

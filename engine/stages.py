@@ -72,8 +72,27 @@ KEEP_PREDICATE = (
 )
 
 
+def make_detect_blocks(emit_filtered_text: bool = True):
+    """Build the stage-1 fn. With ``emit_filtered_text=False`` the raw text
+    of blocks failing the keep rule is not emitted (features still are) —
+    the in-UDF pushdown of the threshold (ref conf kwarg to model.predict,
+    SURVEY §4 O3): boilerplate bytes never cross the Arrow channel. The
+    pipeline's Catalyst filter re-checks the predicate either way."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _detect_blocks_impl(batches, emit_filtered_text)
+
+    return fn
+
+
 def detect_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage 1: pages -> candidate blocks (+1 sentinel per doc)."""
+    return _detect_blocks_impl(batches, True)
+
+
+def _detect_blocks_impl(
+    batches: Iterator[pd.DataFrame], emit_filtered_text: bool
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {
             "url": [], "warc_ts": [], "block_id": [], "tag": [], "text": [],
@@ -108,7 +127,8 @@ def detect_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 droute = doc_route(lang)
                 for b in blocks:
                     route = droute if droute is not None else block_route(b.text)
-                    emit(url, ts, b.block_id, b.tag, b.text, b.n_chars,
+                    text = b.text if (b.kept or emit_filtered_text) else ""
+                    emit(url, ts, b.block_id, b.tag, text, b.n_chars,
                          b.n_link_chars, b.n_tags, b.link_density,
                          b.tag_density, b.score, route, len(blocks), None)
                 emit(url, ts, -1, "", "", 0, 0, 0, 0.0, 0.0, 0.0, "",
