@@ -117,7 +117,10 @@ _ORACLE_ROUNDTRIP = f"""
 SELECT doc_id,
        CASE WHEN length({_NORM_SQL}) >= 25 THEN {_NORM_SQL} ELSE '' END
            AS extracted_text,
-       CAST(3 AS BIGINT) AS n_blocks,
+       -- a whitespace-only/empty body emits no <p> block at all (mirrors
+       -- _ORACLE_BLOCKS: nav+footer only → 2 blocks; ADVICE r1)
+       CAST(CASE WHEN length({_NORM_SQL}) > 0 THEN 3 ELSE 2 END AS BIGINT)
+           AS n_blocks,
        CAST(CASE WHEN length({_NORM_SQL}) >= 25 THEN 1 ELSE 0 END AS BIGINT)
            AS n_kept,
        CASE WHEN length({_NORM_SQL}) >= 25 THEN 'ok' ELSE 'empty' END AS status

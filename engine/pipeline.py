@@ -5,10 +5,14 @@ reference's detect→recognize lifecycle::
 
     read pages → salted repartition → mapInPandas(detect_blocks)
       → filter(KEEP_PREDICATE)                 # Catalyst-side conf mask (O3)
-      → filter(non-empty norm)                 # empty-region drop (O8)
       → mapInPandas(recognize_blocks)
-      → groupBy(url).agg(ordered reassembly)   # reading-order A4, JVM-side
+      → filter(non-empty norm)                 # empty-region drop (O8)
+      → mapInPandas(assemble_blocks)           # reading-order A4, zero shuffle
       → extracted
+
+with a shuffle-bearing twin (``reassembly='shuffle'``: window prefix-sum +
+``groupBy(url, warc_ts)`` ordered aggregate) kept to prove the wide plan
+emits identical bytes.
 
 Fused mode collapses detect+recognize+reassembly into ONE Arrow pass (no
 shuffle at all — blocks of a document never leave its row), the distributed
@@ -93,15 +97,38 @@ def detect(
     return _prepare(pages, num_parts).mapInPandas(fn, schema=BLOCKS_SCHEMA)
 
 
-def run_staged(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
+def run_staged(
+    pages: DataFrame,
+    num_parts: int | None = None,
+    reassembly: str = "local",
+) -> DataFrame:
+    """Staged detect→recognize→reassemble.
+
+    ``reassembly='local'`` (default): third mapInPandas stage — documents are
+    contiguous runs ending in their sentinel within each partition, so
+    reassembly is shuffle-FREE (zero Exchange in the whole staged plan; the
+    extracted corpus text never crosses the wire). This is the plan that
+    survives 100× scale: the r1 window variant shuffled every surviving
+    block's text on url (70.5 s vs fused 1.8 s at sf0.1).
+
+    ``reassembly='shuffle'``: the window-prefix-sum + groupBy plan — kept as
+    the shuffle-bearing proof twin (golden test asserts all three modes emit
+    identical bytes). Keys are (url, warc_ts) end-to-end: partitioning the
+    window by url alone interleaves duplicate urls with different warc_ts and
+    corrupts span offsets (ADVICE r1).
+    """
     blocks = detect(pages, num_parts, emit_filtered_text=False)
     surviving = blocks.filter(F.expr(KEEP_PREDICATE))
     recognized = surviving.select(
         "url", "warc_ts", "block_id", "text", "lang", "doc_n_blocks", "doc_status"
     ).mapInPandas(recognize_blocks, schema=RECOGNIZED_SCHEMA)
     nonempty = recognized.filter("block_id = -1 OR length(norm_text) > 0")
+    if reassembly == "local":
+        from engine.stages import assemble_blocks
+
+        return nonempty.mapInPandas(assemble_blocks, schema=EXTRACTED_CORE_SCHEMA)
     w = (
-        Window.partitionBy("url")
+        Window.partitionBy("url", "warc_ts")
         .orderBy("block_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -140,7 +167,12 @@ def run_extract(
     run_id: str = "run0",
 ) -> DataFrame:
     """Full pipeline -> extracted table incl. part_id + lineage columns."""
-    core = run_fused(pages, num_parts) if mode == "fused" else run_staged(pages, num_parts)
+    if mode == "fused":
+        core = run_fused(pages, num_parts)
+    elif mode == "staged_shuffle":
+        core = run_staged(pages, num_parts, reassembly="shuffle")
+    else:
+        core = run_staged(pages, num_parts)
     return core.withColumn("part_id", F.spark_partition_id()).withColumn(
         "lineage", F.lit(run_id)
     )

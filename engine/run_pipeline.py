@@ -18,8 +18,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
+import uuid
 
 # spark-submit runs this file directly; make the repo root importable.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,7 +35,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--mode", default="fused", choices=["fused", "staged"])
+    ap.add_argument(
+        "--mode", default="fused", choices=["fused", "staged", "staged_shuffle"]
+    )
     ap.add_argument("--parts", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-id", default="run0")
@@ -52,15 +56,28 @@ def main() -> None:
         pages = tableio.remaining(pages, args.out)
 
     t0 = time.monotonic()
+    if args.emit_blocks:
+        # MUST run before merge_by_url: with --resume, `pages` lazily embeds
+        # a scan of the pre-merge output dir (tableio.remaining anti-join);
+        # the merge replaces that dir, so a detect() evaluated afterwards
+        # would read deleted files or anti-join against the merged table
+        # (ADVICE r1). Writing blocks first materializes against the
+        # pre-merge snapshot.
+        blocks = pipeline.detect(pages, num_parts=args.parts)
+        tableio.write_table(blocks, f"{args.out}_blocks")
     extracted = pipeline.run_extract(
         pages, mode=args.mode, num_parts=args.parts, run_id=args.run_id
     )
-    tableio.merge_by_url(spark, args.out, extracted)
+    # Stage the run output once: merge_by_url evaluates its updates twice
+    # (bucket census + merged write) — merging the live extraction lineage
+    # would run the whole extraction twice.
+    staging = f"{args.out}.staging-{uuid.uuid4().hex[:8]}"
+    tableio.write_table(extracted, staging)
+    try:
+        tableio.merge_by_url(spark, args.out, tableio.read_table(spark, staging))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     wall_ms = int((time.monotonic() - t0) * 1000)
-
-    if args.emit_blocks:
-        blocks = pipeline.detect(pages, num_parts=args.parts)
-        tableio.write_table(blocks, f"{args.out}_blocks")
 
     tableio.write_lineage(spark, args.out, args.run_id)
     final = spark.read.parquet(args.out)

@@ -159,6 +159,75 @@ def recognize_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def assemble_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage 3: partition-local reading-order reassembly.
+
+    Stage 1 emits each document's blocks consecutively and terminates the run
+    with its sentinel row (``block_id = -1``); the Catalyst keep-filter and the
+    recognize stage are narrow, order-preserving transformations, so within a
+    partition every document is still a contiguous run ending in its sentinel.
+    Reassembly therefore needs NO shuffle at all: accumulate rows, flush on the
+    sentinel (state carries across Arrow batch boundaries). This is the
+    distributed form of the reference's in-process reading-order join
+    (``bilingual_ocr.py:461`` "\\n".join) — same prefix-sum span math as
+    ``extraction.core.extract_document``, asserted byte-identical to fused by
+    tests/test_golden_e2e.py.
+
+    Duplicate (url, warc_ts) page rows each produce their own output row —
+    identical to fused mode, unlike a groupBy-based reassembly which would
+    merge them (ADVICE r1).
+    """
+    parts: list[tuple[int, str, str]] = []  # (block_id, route, norm_text)
+
+    def new_out() -> dict[str, list]:
+        return {
+            "url": [], "warc_ts": [], "extracted_text": [], "spans": [],
+            "n_blocks": [], "n_kept": [], "status": [],
+        }
+
+    out = new_out()
+    for pdf in batches:
+        for url, ts, block_id, lang, norm, doc_nb, doc_status in zip(
+            pdf["url"], pdf["warc_ts"], pdf["block_id"], pdf["lang"],
+            pdf["norm_text"], pdf["doc_n_blocks"], pdf["doc_status"],
+        ):
+            if block_id >= 0:
+                if norm:
+                    parts.append((int(block_id), lang, norm))
+                continue
+            # sentinel row: the document run is complete — finalize it.
+            # Blocks arrived in stage-1 emit order (== block_id order); the
+            # sort is a no-op safety net, O(1) comparisons on sorted input.
+            parts.sort(key=lambda p: p[0])
+            spans: list[dict] = []
+            texts: list[str] = []
+            pos = 0
+            for bid, route, norm_text in parts:
+                end = pos + len(norm_text)
+                spans.append(
+                    {"block_id": bid, "start": pos, "end": end, "lang": route}
+                )
+                texts.append(norm_text)
+                pos = end + 1  # +1 for the '\n' joiner
+            if isinstance(doc_status, str) and doc_status:
+                status = doc_status  # error:<ExcName> rows pass through
+            else:
+                status = "ok" if parts else "empty"
+            out["url"].append(url)
+            out["warc_ts"].append(ts)
+            out["extracted_text"].append("\n".join(texts))
+            out["spans"].append(spans)
+            out["n_blocks"].append(int(doc_nb))
+            out["n_kept"].append(len(parts))
+            out["status"].append(status)
+            parts = []
+        if out["url"]:
+            yield pd.DataFrame(out)
+            out = new_out()
+    if out["url"]:  # pragma: no cover — every doc ends in a sentinel
+        yield pd.DataFrame(out)
+
+
 def extract_fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Fused per-document stage: one Arrow pass, zero shuffles."""
     for pdf in batches:

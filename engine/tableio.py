@@ -6,10 +6,19 @@ Iceberg runtime jar (verified, SURVEY.md §7), so the same *semantics* are
 provided over plain parquet directories (SURVEY.md §7.3 H5):
 
 - ``merge_by_url``  — idempotent upsert: existing rows whose url appears in
-  the updates are replaced (anti-join + union), others kept; atomic via
-  write-to-tmp + directory swap.
+  the updates are replaced (anti-join + union), others kept. The table is
+  laid out in ``bucket=N`` subdirectories keyed by ``pmod(xxhash64(url),
+  n_buckets)`` (the parquet emulation of Iceberg's bucket partition
+  transform): a merge reads and rewrites ONLY the dirty buckets — the ones
+  the updates hash into — so incremental-merge cost is O(updates), not
+  O(table) (VERDICT r1). Each bucket swap is atomic (write-tmp + rename);
+  a crash between bucket swaps leaves a prefix merged, and re-running the
+  same merge converges (idempotence test).
 - ``remaining``     — checkpointed-resume anti-join (J3): pages minus already-
-  extracted urls, with the done-set broadcast when small.
+  extracted urls. No forced broadcast: the done set is parquet-backed, so
+  Catalyst's size statistics broadcast it when small and fall back to a
+  shuffled join when not (an unconditional hint OOMs at table scale,
+  ADVICE r1).
 - ``write_lineage`` — per-run lineage JSON next to the data (run_id +
   per-partition row counts), the fallback for Iceberg snapshot metadata.
 
@@ -38,10 +47,26 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# Hash buckets for the merge layout. 64 keeps per-bucket rewrites ~1/64 of
+# the table; at real scale this maps to Iceberg `bucket(N, url)` partitioning.
+N_MERGE_BUCKETS = int(os.environ.get("SPARK_EXTRACT_MERGE_BUCKETS", "64"))
+
+
+def _is_bucketed(path: str) -> bool:
+    return any(d.startswith("bucket=") for d in os.listdir(path))
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     if not os.path.exists(path):
         return None
-    return spark.read.parquet(path)
+    # `bucket` is merge-layout plumbing, not part of the logical schema
+    return spark.read.parquet(path).drop("bucket")
 
 
 def write_table(df: DataFrame, path: str) -> None:
@@ -71,33 +96,92 @@ def merge_by_url_iceberg(
     )
 
 
-def merge_by_url(spark: SparkSession, target_path: str, updates: DataFrame) -> None:
+def merge_by_url(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    n_buckets: int = N_MERGE_BUCKETS,
+) -> None:
     """MERGE INTO target USING updates ON url — parquet-fallback emulation.
 
     MATCHED → UPDATE * (update row wins), NOT MATCHED → INSERT *.
     Idempotent: merging the same updates twice equals merging once.
+    Incremental: only buckets the updates hash into are read and rewritten.
     Routes to :func:`merge_by_url_iceberg` when ``target_path`` is a catalog
     table identifier (no '/') and Iceberg is available.
+
+    ``updates`` is evaluated twice (bucket census + merged write) — callers
+    merging an expensive lineage should materialize it first
+    (``engine/run_pipeline.py`` stages the run output to parquet before
+    merging for exactly this reason).
     """
     if "/" not in target_path and iceberg_available(spark):
         merge_by_url_iceberg(spark, target_path, updates)
         return
-    existing = read_table(spark, target_path)
-    if existing is None:
-        write_table(updates, target_path)
+    upd = _with_bucket(updates, n_buckets)
+    if not os.path.exists(target_path):
+        if updates.isEmpty():
+            write_table(updates, target_path)  # keep a readable empty schema
+            return
+        tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
+        upd.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        os.rename(tmp, target_path)
         return
-    kept = existing.join(F.broadcast(updates.select("url")), "url", "left_anti")
-    merged = kept.unionByName(updates)
-    write_table(merged, target_path)
+    if not _is_bucketed(target_path):
+        # one-time migration of a flat write_table layout: everything dirty
+        existing = read_table(spark, target_path)
+        kept = existing.join(updates.select("url"), "url", "left_anti")
+        merged = _with_bucket(kept.unionByName(updates), n_buckets)
+        tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        shutil.rmtree(target_path)
+        os.rename(tmp, target_path)
+        return
+    dirty = sorted(
+        r["bucket"] for r in upd.select("bucket").distinct().collect()
+    )
+    if not dirty:  # empty updates: no-op, untouched table
+        return
+    dirty_dirs = [
+        f"{target_path}/bucket={b}"
+        for b in dirty
+        if os.path.exists(f"{target_path}/bucket={b}")
+    ]
+    if dirty_dirs:
+        existing_dirty = (
+            spark.read.option("basePath", target_path).parquet(*dirty_dirs)
+        )
+        # done-url side is a fresh DF with parquet size stats on the other
+        # side; no forced broadcast (ADVICE r1) — Catalyst/AQE picks.
+        kept = existing_dirty.join(upd.select("url"), "url", "left_anti")
+        merged = kept.unionByName(upd)
+    else:
+        merged = upd
+    tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    for b in dirty:
+        src = f"{tmp}/bucket={b}"
+        dst = f"{target_path}/bucket={b}"
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
 
 
 def remaining(pages: DataFrame, extracted_path: str) -> DataFrame:
-    """Resume anti-join (J3): pages not yet present in the extracted table."""
+    """Resume anti-join (J3): pages not yet present in the extracted table.
+
+    The done set is parquet-backed, so Catalyst's size statistics broadcast
+    it below ``spark.sql.autoBroadcastJoinThreshold`` and shuffle otherwise —
+    an unconditional ``F.broadcast`` hint would OOM the driver once the
+    extracted table outgrows memory (ADVICE r1).
+    """
     spark = pages.sparkSession
     done = read_table(spark, extracted_path)
     if done is None:
         return pages
-    return pages.join(F.broadcast(done.select("url")), "url", "left_anti")
+    return pages.join(done.select("url"), "url", "left_anti")
 
 
 def write_lineage(spark: SparkSession, target_path: str, run_id: str) -> str:

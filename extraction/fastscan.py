@@ -65,28 +65,41 @@ def scan(data: str, handler) -> None:
             # names here, a divergence we accept; see module docstring)
             j = m.end()
             prev = ""
+            # in_uv: inside an UNQUOTED attribute value — a non-space run
+            # that starts right after '='. stdlib's value regex is
+            # (?!['"])[^>\s]* so '/' inside such a run is value text, NOT a
+            # self-closing marker ('<a href=/x/>' is a starttag); outside a
+            # run ('<br/>', '<a href="x"/>') it is self-closing.
+            in_uv = False
             while j < n:
                 ch = data[j]
                 if ch == ">":
                     break
-                if (ch == '"' or ch == "'") and prev == "=":
+                if (ch == '"' or ch == "'") and prev == "=" and not in_uv:
                     q = find(ch, j + 1)
                     if q < 0:
                         j = n
                         break
                     j = q + 1
                     prev = ch
+                    continue
+                if ch.isspace():
+                    in_uv = False
                 else:
-                    if not ch.isspace():
-                        prev = ch
-                    j += 1
+                    # '=' never opens the run itself: stdlib consumes '=+'
+                    # greedily, so '==/x/' still quotes-or-values after the
+                    # LAST '=' ('<a href==/x/>' → value '/x/').
+                    if prev == "=" and ch != "=" and not in_uv:
+                        in_uv = True
+                    prev = ch
+                j += 1
             if j >= n:
                 # unterminated tag at EOF → literal text (stdlib behavior)
                 h_data("<")
                 seg = data[lt + 1 :]
                 h_data(unescape(seg) if "&" in seg else seg)
                 break
-            if data[j - 1] == "/":
+            if data[j - 1] == "/" and not in_uv:
                 h_startend(tag, ())
                 i = j + 1
                 continue

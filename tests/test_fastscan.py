@@ -40,6 +40,22 @@ EDGE_CASES = [
     "<p>double<<p>lt</p>",
     "<script>never closed",
     "<p>a</p foo='bar'><div>endtag with attrs</div>",
+    # unquoted attribute values whose trailing '/' is NOT self-closing
+    # (ADVICE r1 high: fast path flipped the keep decision on these)
+    "<a href=/x/>text inside a real anchor element here</a> tail",
+    "<a href=/x/ >spaced unquoted value then close</a>",
+    "<a href=/>bare slash value</a>",
+    "<a href= />slash value after spaced equals</a>",
+    "<a href = /wiki/Main_Page/>spaces around equals</a>",
+    "<a href==/x/>double equals then unquoted slash value</a>",
+    "<a href=x=y/>equals inside unquoted value</a>",
+    '<a href=a"b/>quote inside unquoted value</a>',
+    # '/' that IS self-closing (value ended by quote/space/name rules)
+    '<a href="/x"/>after-quote slash self-closes',
+    "<a href=x />value then space then slash self-closes",
+    "<input checked/><a b/>boolean attr then slash self-closes</a>",
+    "<a b/c>slash between boolean attrs is skipped</a>",
+    "<br / >spaced lone slash is a plain start tag",
 ]
 
 
@@ -86,6 +102,26 @@ _markup = st.text(
 @settings(max_examples=500, deadline=None)
 def test_fast_matches_stdlib_hypothesis(text):
     _same(f"<div><p>{text}</p><a href='x'>{text[:40]}</a>{text}</div>")
+
+
+# Unquoted attribute values (stdlib: (?!['"])[^>\s]* after '='); slashes and
+# equals inside the value must not flip start/startend classification.
+_uv = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x21, max_codepoint=0x7E, exclude_characters=">\"'"
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(_uv, _uv, _markup)
+@settings(max_examples=300, deadline=None)
+def test_fast_matches_stdlib_unquoted_attrs(v1, v2, text):
+    _same(
+        f"<div><a href={v1}>{text}</a><p data-x={v2} >{text[:60]}</p>"
+        f"<img src={v1}/><a href={v2}/>{text}</div>"
+    )
 
 
 @given(st.text(max_size=200))

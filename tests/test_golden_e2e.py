@@ -28,7 +28,7 @@ def _collect_results(df) -> dict[str, dict]:
     return out
 
 
-@pytest.mark.parametrize("mode", ["fused", "staged"])
+@pytest.mark.parametrize("mode", ["fused", "staged", "staged_shuffle"])
 def test_pipeline_matches_goldens(spark, pages_unit_path, goldens_unit, mode):
     pages = spark.read.parquet(pages_unit_path)
     extracted = pipeline.run_extract(pages, mode=mode, num_parts=5, run_id="t")
@@ -55,7 +55,21 @@ def test_staged_equals_fused(spark, pages_small_path):
     pages = spark.read.parquet(pages_small_path)
     staged = _collect_results(pipeline.run_extract(pages, mode="staged", num_parts=7))
     fused = _collect_results(pipeline.run_extract(pages, mode="fused", num_parts=3))
+    shuffled = _collect_results(
+        pipeline.run_extract(pages, mode="staged_shuffle", num_parts=5)
+    )
     assert staged == fused
+    assert shuffled == fused
+
+
+def test_staged_local_plan_has_no_exchange(spark, pages_small_path):
+    """The default staged plan must be fully partition-local: three
+    mapInPandas stages, zero Exchange — extracted text never crosses the
+    wire (VERDICT r1 #1)."""
+    pages = spark.read.parquet(pages_small_path)
+    plan = pipeline.run_staged(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 3, plan
 
 
 def test_blocks_intermediate_counts(spark, pages_unit_path, goldens_unit):

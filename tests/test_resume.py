@@ -62,6 +62,40 @@ def test_merge_updates_win(spark, pages_unit_path, tmp_path):
     assert final.filter("lineage = 'v2'").count() == 10
 
 
+def test_resume_emit_blocks_uses_premerge_snapshot(spark, pages_small_path, tmp_path):
+    """Regression (ADVICE r1): with --resume --emit-blocks the CLI must write
+    the blocks table BEFORE merge_by_url replaces the output dir a lazy
+    `remaining` plan still references. Drive the CLI main() end-to-end."""
+    import sys
+    from unittest import mock
+
+    from engine import run_pipeline
+
+    out = str(tmp_path / "extracted")
+    pages = spark.read.parquet(pages_small_path)
+    # seed a partial table so --resume has something to anti-join against
+    tableio.merge_by_url(
+        spark, out,
+        pipeline.run_extract(pages.filter("xxhash64(url) % 2 = 0"), run_id="seed"),
+    )
+    n_done = spark.read.parquet(out).count()
+    argv = [
+        "run_pipeline.py", "--pages", pages_small_path, "--out", out,
+        "--resume", "--emit-blocks", "--run-id", "r2",
+        "--master", spark.sparkContext.master,
+    ]
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch.object(run_pipeline, "get_spark", lambda master=None: spark), \
+            mock.patch.object(spark, "stop", lambda: None):
+        run_pipeline.main()
+    # blocks table covers exactly the resumed (not-yet-done) urls
+    blocks_urls = {
+        r["url"] for r in spark.read.parquet(f"{out}_blocks").select("url").collect()
+    }
+    assert len(blocks_urls) == pages.count() - n_done
+    assert spark.read.parquet(out).count() == pages.count()
+
+
 def test_lineage_written(spark, pages_unit_path, tmp_path):
     import json
     import os

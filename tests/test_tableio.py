@@ -35,3 +35,70 @@ def test_merge_with_empty_updates_is_noop(spark, pages_unit_path, tmp_path):
 
 def test_iceberg_unavailable_in_sandbox(spark):
     assert tableio.iceberg_available(spark) is False  # documented sandbox fact
+
+
+def _bucket_state(path):
+    """{bucket dir -> sorted [(file, mtime_ns, size)]} for swap detection."""
+    state = {}
+    for d in os.listdir(path):
+        if not d.startswith("bucket="):
+            continue
+        full = os.path.join(path, d)
+        state[d] = sorted(
+            (f, os.stat(os.path.join(full, f)).st_mtime_ns,
+             os.stat(os.path.join(full, f)).st_size)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+    return state
+
+
+def test_merge_rewrites_only_dirty_buckets(spark, pages_unit_path, tmp_path):
+    """Incremental merge is O(updates): buckets the updates do not hash into
+    keep their exact files and mtimes (VERDICT r1 #4)."""
+    out = str(tmp_path / "t")
+    pages = spark.read.parquet(pages_unit_path)
+    full = pipeline.run_extract(pages, run_id="a")
+    tableio.merge_by_url(spark, out, full, n_buckets=8)
+    before = _bucket_state(out)
+    assert len(before) > 1  # corpus spans several buckets
+
+    one_url = spark.read.parquet(out).select("url").first()["url"]
+    upd = pipeline.run_extract(pages.filter(pages.url == one_url), run_id="b")
+    tableio.merge_by_url(spark, out, upd, n_buckets=8)
+    after = _bucket_state(out)
+
+    from pyspark.sql import functions as F
+
+    dirty = (
+        spark.createDataFrame([(one_url,)], "url string")
+        .select(F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("b"))
+        .first()["b"]
+    )
+    assert before.keys() == after.keys()
+    for d in before:
+        if d == f"bucket={dirty}":
+            assert before[d] != after[d]  # dirty bucket rewritten
+        else:
+            assert before[d] == after[d], d  # clean bucket untouched
+
+    # semantics unchanged: still one row per url, update won
+    final = spark.read.parquet(out)
+    assert final.groupBy("url").count().filter("count > 1").count() == 0
+    assert final.filter(f"url = '{one_url}'").first()["lineage"] == "b"
+
+
+def test_merge_migrates_flat_layout(spark, pages_unit_path, tmp_path):
+    """A table written flat (write_table) is migrated to buckets on first
+    merge, with upsert semantics intact."""
+    out = str(tmp_path / "t")
+    pages = spark.read.parquet(pages_unit_path)
+    tableio.write_table(pipeline.run_extract(pages, run_id="a"), out)
+    assert not any(d.startswith("bucket=") for d in os.listdir(out))
+    upd = pipeline.run_extract(pages.limit(5), run_id="b")
+    tableio.merge_by_url(spark, out, upd, n_buckets=8)
+    assert any(d.startswith("bucket=") for d in os.listdir(out))
+    final = spark.read.parquet(out)
+    assert final.count() == 64
+    assert final.filter("lineage = 'b'").count() == 5
+    assert final.groupBy("url").count().filter("count > 1").count() == 0
