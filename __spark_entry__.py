@@ -96,12 +96,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries — extraction pipeline family
 # ---------------------------------------------------------------------------
 
-def _q_extract_roundtrip(mode: str) -> Callable[[SparkSession, str], DataFrame]:
+def _q_extract_roundtrip(
+    mode: str, fallback: bool = False
+) -> Callable[[SparkSession, str], DataFrame]:
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from engine.pipeline import run_extract
 
         pages = pages_from_documents(spark, sf_dir)
-        out = run_extract(pages, mode=mode, num_parts=8, run_id="q")
+        out = run_extract(pages, mode=mode, num_parts=8, run_id="q", fallback=fallback)
         return out.select(
             F.col("url").cast("bigint").alias("doc_id"),
             F.col("extracted_text"),
@@ -125,6 +127,22 @@ SELECT doc_id,
            AS n_kept,
        CASE WHEN length({_NORM_SQL}) >= 25 THEN 'ok' ELSE 'empty' END AS status
 FROM documents
+"""
+
+
+# O5 fallback ladder: docs whose every block fails the keep rule keep their
+# best-scoring block. On the synthetic wrap the winners are SQL-predictable:
+# the <p> body block scores length(n) (link-free, tag-free) vs nav's fixed
+# 9*(1-8/9)/(1+10*2/9) = 9/29 ≈ 0.31 and footer's 0 — so the body wins
+# whenever it exists (length >= 1) and nav ('home blog') rescues empty bodies.
+_ORACLE_FALLBACK = f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS n FROM documents)
+SELECT doc_id,
+       CASE WHEN length(n) >= 1 THEN n ELSE 'home blog' END AS extracted_text,
+       CAST(CASE WHEN length(n) > 0 THEN 3 ELSE 2 END AS BIGINT) AS n_blocks,
+       CAST(1 AS BIGINT) AS n_kept,
+       CASE WHEN length(n) >= 25 THEN 'ok' ELSE 'fallback' END AS status
+FROM norm
 """
 
 
@@ -866,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extraction pipeline (SURVEY §2.8/§2.10, M1-M16 recast)
         "extract_roundtrip": _q_extract_roundtrip("fused"),
         "extract_roundtrip_staged": _q_extract_roundtrip("staged"),
+        "extract_fallback": _q_extract_roundtrip("fused", fallback=True),
         "detect_blocks_features": _q_detect_blocks_features,
         # aggregations / filters / windows (SURVEY §2.2/§2.4/§2.5)
         "coverage_counters": _sql_query(_SQL_COVERAGE, "documents"),
@@ -919,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": _ORACLE_ROUNDTRIP,
         "extract_roundtrip_staged": _ORACLE_ROUNDTRIP,
+        "extract_fallback": _ORACLE_FALLBACK,
         "detect_blocks_features": _ORACLE_BLOCKS,
         "coverage_counters": _SQL_COVERAGE,
         "routing_tally": _SQL_ROUTING,

@@ -84,16 +84,22 @@ def detect(
     pages: DataFrame,
     num_parts: int | None = None,
     emit_filtered_text: bool = True,
+    fallback: bool = False,
 ) -> DataFrame:
     """Stage 1 as a standalone DataFrame (the `blocks` intermediate table).
 
     ``emit_filtered_text=False`` applies the in-UDF threshold pushdown
     (SURVEY §4 O3): boilerplate block text never crosses the Arrow channel —
     the staged pipeline uses this since only surviving blocks reach stage 2.
+    ``fallback=True`` marks the O5 relaxed-pass winner ``forced`` on docs
+    where no block passes the keep rule.
     """
     from engine.stages import make_detect_blocks
 
-    fn = detect_blocks if emit_filtered_text else make_detect_blocks(False)
+    if emit_filtered_text and not fallback:
+        fn = detect_blocks
+    else:
+        fn = make_detect_blocks(emit_filtered_text, fallback)
     return _prepare(pages, num_parts).mapInPandas(fn, schema=BLOCKS_SCHEMA)
 
 
@@ -101,6 +107,7 @@ def run_staged(
     pages: DataFrame,
     num_parts: int | None = None,
     reassembly: str = "local",
+    fallback: bool = False,
 ) -> DataFrame:
     """Staged detect→recognize→reassemble.
 
@@ -117,10 +124,14 @@ def run_staged(
     window by url alone interleaves duplicate urls with different warc_ts and
     corrupts span offsets (ADVICE r1).
     """
-    blocks = detect(pages, num_parts, emit_filtered_text=False)
-    surviving = blocks.filter(F.expr(KEEP_PREDICATE))
+    from engine.stages import KEEP_PREDICATE_FALLBACK
+
+    blocks = detect(pages, num_parts, emit_filtered_text=False, fallback=fallback)
+    pred = KEEP_PREDICATE_FALLBACK if fallback else KEEP_PREDICATE
+    surviving = blocks.filter(F.expr(pred))
     recognized = surviving.select(
-        "url", "warc_ts", "block_id", "text", "lang", "doc_n_blocks", "doc_status"
+        "url", "warc_ts", "block_id", "text", "lang", "doc_n_blocks",
+        "doc_status", "forced"
     ).mapInPandas(recognize_blocks, schema=RECOGNIZED_SCHEMA)
     nonempty = recognized.filter("block_id = -1 OR length(norm_text) > 0")
     if reassembly == "local":
@@ -144,20 +155,28 @@ def run_staged(
         .cast("int")
         .alias("n_kept"),
         F.max("doc_status").alias("err_status"),
+        F.max(F.when(F.col("forced"), 1).otherwise(0)).alias("any_forced"),
     )
     return assembled.withColumn(
         "status",
         F.coalesce(
             F.col("err_status"),
+            F.when(F.col("any_forced") > 0, F.lit("fallback")),
             F.when(F.col("n_kept") > 0, F.lit("ok")).otherwise(F.lit("empty")),
         ),
-    ).drop("err_status")
+    ).drop("err_status", "any_forced")
 
 
-def run_fused(pages: DataFrame, num_parts: int | None = None) -> DataFrame:
-    return _prepare(pages, num_parts).mapInPandas(
-        extract_fused, schema=EXTRACTED_CORE_SCHEMA
-    )
+def run_fused(
+    pages: DataFrame, num_parts: int | None = None, fallback: bool = False
+) -> DataFrame:
+    if fallback:
+        from engine.stages import make_extract_fused
+
+        fn = make_extract_fused(True)
+    else:
+        fn = extract_fused
+    return _prepare(pages, num_parts).mapInPandas(fn, schema=EXTRACTED_CORE_SCHEMA)
 
 
 def run_extract(
@@ -165,14 +184,20 @@ def run_extract(
     mode: str = "fused",
     num_parts: int | None = None,
     run_id: str = "run0",
+    fallback: bool = False,
 ) -> DataFrame:
-    """Full pipeline -> extracted table incl. part_id + lineage columns."""
+    """Full pipeline -> extracted table incl. part_id + lineage columns.
+
+    ``fallback=True`` turns on the O5 empty-result retry ladder in every
+    mode: docs where no block passes the keep rule keep their best-scoring
+    block and surface as ``status='fallback'`` instead of ``'empty'``.
+    """
     if mode == "fused":
-        core = run_fused(pages, num_parts)
+        core = run_fused(pages, num_parts, fallback)
     elif mode == "staged_shuffle":
-        core = run_staged(pages, num_parts, reassembly="shuffle")
+        core = run_staged(pages, num_parts, reassembly="shuffle", fallback=fallback)
     else:
-        core = run_staged(pages, num_parts)
+        core = run_staged(pages, num_parts, fallback=fallback)
     return core.withColumn("part_id", F.spark_partition_id()).withColumn(
         "lineage", F.lit(run_id)
     )

@@ -40,6 +40,12 @@ def main() -> None:
     )
     ap.add_argument("--parts", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--fallback",
+        action="store_true",
+        help="O5 empty-result retry ladder: keep the best-scoring block on "
+        "docs where nothing passes the keep rule (status='fallback')",
+    )
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--master", default=None)
     ap.add_argument(
@@ -66,7 +72,8 @@ def main() -> None:
         blocks = pipeline.detect(pages, num_parts=args.parts)
         tableio.write_table(blocks, f"{args.out}_blocks")
     extracted = pipeline.run_extract(
-        pages, mode=args.mode, num_parts=args.parts, run_id=args.run_id
+        pages, mode=args.mode, num_parts=args.parts, run_id=args.run_id,
+        fallback=args.fallback,
     )
     # Stage the run output once: merge_by_url evaluates its updates twice
     # (bucket census + merged write) — merging the live extraction lineage

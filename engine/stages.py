@@ -45,13 +45,13 @@ BLOCKS_SCHEMA = (
     "url string, warc_ts timestamp, block_id int, tag string, text string, "
     "n_chars int, n_link_chars int, n_tags int, "
     "link_density double, tag_density double, score double, lang string, "
-    "doc_n_blocks int, doc_status string"
+    "doc_n_blocks int, doc_status string, forced boolean"
 )
 
 # Stage-2 output schema.
 RECOGNIZED_SCHEMA = (
     "url string, warc_ts timestamp, block_id int, lang string, "
-    "norm_text string, doc_n_blocks int, doc_status string"
+    "norm_text string, doc_n_blocks int, doc_status string, forced boolean"
 )
 
 # Final extracted schema (SURVEY.md §1.3 `extracted`, sans part_id/lineage
@@ -71,38 +71,50 @@ KEEP_PREDICATE = (
     "(n_chars >= 25 AND n_chars <= 1000000 AND 3 * n_link_chars < n_chars)"
 )
 
+# With the O5 fallback ladder enabled, stage 1 marks the relaxed-pass winner
+# `forced`; it must survive the Catalyst filter despite failing the keep rule.
+KEEP_PREDICATE_FALLBACK = f"({KEEP_PREDICATE}) OR forced"
 
-def make_detect_blocks(emit_filtered_text: bool = True):
+
+def make_detect_blocks(emit_filtered_text: bool = True, fallback: bool = False):
     """Build the stage-1 fn. With ``emit_filtered_text=False`` the raw text
     of blocks failing the keep rule is not emitted (features still are) —
     the in-UDF pushdown of the threshold (ref conf kwarg to model.predict,
     SURVEY §4 O3): boilerplate bytes never cross the Arrow channel. The
-    pipeline's Catalyst filter re-checks the predicate either way."""
+    pipeline's Catalyst filter re-checks the predicate either way.
+
+    ``fallback=True`` enables the O5 relaxed second pass: on documents where
+    NO block passes the keep rule, the best-scoring block
+    (``extraction.core.best_block``) is emitted with ``forced=true`` (and its
+    text, regardless of the pushdown) so downstream stages rescue it."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _detect_blocks_impl(batches, emit_filtered_text)
+        return _detect_blocks_impl(batches, emit_filtered_text, fallback)
 
     return fn
 
 
 def detect_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage 1: pages -> candidate blocks (+1 sentinel per doc)."""
-    return _detect_blocks_impl(batches, True)
+    return _detect_blocks_impl(batches, True, False)
 
 
 def _detect_blocks_impl(
-    batches: Iterator[pd.DataFrame], emit_filtered_text: bool
+    batches: Iterator[pd.DataFrame], emit_filtered_text: bool, fallback: bool
 ) -> Iterator[pd.DataFrame]:
+    from extraction.core import best_block
+
     for pdf in batches:
         out: dict[str, list] = {
             "url": [], "warc_ts": [], "block_id": [], "tag": [], "text": [],
             "n_chars": [], "n_link_chars": [], "n_tags": [],
             "link_density": [], "tag_density": [], "score": [], "lang": [],
-            "doc_n_blocks": [], "doc_status": [],
+            "doc_n_blocks": [], "doc_status": [], "forced": [],
         }
 
         def emit(url, ts, block_id, tag, text, n_chars, n_link, n_tags,
-                 ld, td, score, lang, doc_n_blocks, doc_status) -> None:
+                 ld, td, score, lang, doc_n_blocks, doc_status,
+                 forced=False) -> None:
             out["url"].append(url)
             out["warc_ts"].append(ts)
             out["block_id"].append(block_id)
@@ -117,6 +129,7 @@ def _detect_blocks_impl(
             out["lang"].append(lang)
             out["doc_n_blocks"].append(doc_n_blocks)
             out["doc_status"].append(doc_status)
+            out["forced"].append(forced)
 
         for url, ts, html, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
@@ -125,12 +138,17 @@ def _detect_blocks_impl(
                 raw = decode_html(html) if isinstance(html, (bytes, bytearray)) else (html or "")
                 blocks = segment_blocks(raw)
                 droute = doc_route(lang)
+                forced_id = -1
+                if fallback and blocks and not any(b.kept for b in blocks):
+                    forced_id = best_block(blocks).block_id
                 for b in blocks:
                     route = droute if droute is not None else block_route(b.text)
-                    text = b.text if (b.kept or emit_filtered_text) else ""
+                    forced = b.block_id == forced_id
+                    text = b.text if (b.kept or forced or emit_filtered_text) else ""
                     emit(url, ts, b.block_id, b.tag, text, b.n_chars,
                          b.n_link_chars, b.n_tags, b.link_density,
-                         b.tag_density, b.score, route, len(blocks), None)
+                         b.tag_density, b.score, route, len(blocks), None,
+                         forced)
                 emit(url, ts, -1, "", "", 0, 0, 0, 0.0, 0.0, 0.0, "",
                      len(blocks), None)
             except Exception as exc:  # noqa: BLE001 — error rows, not exceptions
@@ -155,6 +173,7 @@ def recognize_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "norm_text": norm,
                 "doc_n_blocks": pdf["doc_n_blocks"],
                 "doc_status": pdf["doc_status"],
+                "forced": pdf["forced"],
             }
         )
 
@@ -178,6 +197,7 @@ def assemble_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     merge them (ADVICE r1).
     """
     parts: list[tuple[int, str, str]] = []  # (block_id, route, norm_text)
+    any_forced = False  # this doc's surviving parts came from the O5 ladder
 
     def new_out() -> dict[str, list]:
         return {
@@ -187,13 +207,15 @@ def assemble_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     out = new_out()
     for pdf in batches:
-        for url, ts, block_id, lang, norm, doc_nb, doc_status in zip(
+        for url, ts, block_id, lang, norm, doc_nb, doc_status, forced in zip(
             pdf["url"], pdf["warc_ts"], pdf["block_id"], pdf["lang"],
             pdf["norm_text"], pdf["doc_n_blocks"], pdf["doc_status"],
+            pdf["forced"],
         ):
             if block_id >= 0:
                 if norm:
                     parts.append((int(block_id), lang, norm))
+                    any_forced = any_forced or bool(forced)
                 continue
             # sentinel row: the document run is complete — finalize it.
             # Blocks arrived in stage-1 emit order (== block_id order); the
@@ -211,6 +233,8 @@ def assemble_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 pos = end + 1  # +1 for the '\n' joiner
             if isinstance(doc_status, str) and doc_status:
                 status = doc_status  # error:<ExcName> rows pass through
+            elif any_forced:
+                status = "fallback"  # parts exist only via the O5 ladder
             else:
                 status = "ok" if parts else "empty"
             out["url"].append(url)
@@ -221,6 +245,7 @@ def assemble_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["n_kept"].append(len(parts))
             out["status"].append(status)
             parts = []
+            any_forced = False
         if out["url"]:
             yield pd.DataFrame(out)
             out = new_out()
@@ -228,8 +253,23 @@ def assemble_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def make_extract_fused(fallback: bool = False):
+    """Build the fused stage fn; ``fallback=True`` enables the O5 ladder."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _extract_fused_impl(batches, fallback)
+
+    return fn
+
+
 def extract_fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Fused per-document stage: one Arrow pass, zero shuffles."""
+    return _extract_fused_impl(batches, False)
+
+
+def _extract_fused_impl(
+    batches: Iterator[pd.DataFrame], fallback: bool
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows: dict[str, list] = {
             "url": [], "warc_ts": [], "extracted_text": [], "spans": [],
@@ -238,7 +278,7 @@ def extract_fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, ts, html, lang in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
         ):
-            r = extract_document(url, html, lang)
+            r = extract_document(url, html, lang, fallback)
             rows["url"].append(url)
             rows["warc_ts"].append(ts)
             rows["extracted_text"].append(r.extracted_text)

@@ -44,8 +44,28 @@ def recognize_block(text: str, route: str) -> str:
     return normalize_text(text, route)
 
 
-def extract_document(url: str, html: bytes | str, lang: str | None) -> ExtractResult:
-    """Extract main content from one page. Never raises."""
+def best_block(blocks: list[Block]) -> Block | None:
+    """The relaxed-pass winner: highest score, ties to the lowest block_id.
+
+    The deterministic web recast of the reference's empty-result retry ladder
+    (O5): YOLO→OpenCV fallback detector (``text_detection_yolov8.py:182-209``)
+    and the detect→full-page-English fallback (``bilingual_ocr.py:108-123``).
+    Score is informational-float but computed identically everywhere (pure
+    Python, same function), so the argmax is stable."""
+    if not blocks:
+        return None
+    return max(blocks, key=lambda b: (b.score, -b.block_id))
+
+
+def extract_document(
+    url: str, html: bytes | str, lang: str | None, fallback: bool = False
+) -> ExtractResult:
+    """Extract main content from one page. Never raises.
+
+    ``fallback=True`` enables the O5 relaxed second pass: when every block
+    fails the keep rule (short-paragraph pages are common on real crawls),
+    the best-scoring block is kept unconditionally and the row is emitted
+    with ``status='fallback'`` instead of giving up with ``'empty'``."""
     try:
         raw = decode_html(html) if isinstance(html, (bytes, bytearray)) else (html or "")
         blocks = segment_blocks(raw)
@@ -62,6 +82,26 @@ def extract_document(url: str, html: bytes | str, lang: str | None) -> ExtractRe
                 parts.append((b.block_id, route, norm))
 
         if not parts:
+            # The relaxed pass triggers on the DETECT-level condition "no
+            # block passed the keep rule" (ref: "no regions detected"), not
+            # on the post-normalization outcome — the staged pipeline decides
+            # `forced` in stage 1, before norms exist, and the two paths must
+            # agree byte-for-byte. A doc whose kept blocks all normalize to
+            # empty therefore stays 'empty' in both.
+            if fallback and not any(b.kept for b in blocks):
+                best = best_block(blocks)
+                if best is not None:
+                    route = droute if droute is not None else block_route(best.text)
+                    norm = recognize_block(best.text, route)
+                    if norm:
+                        return ExtractResult(
+                            url,
+                            norm,
+                            [Span(best.block_id, 0, len(norm), route)],
+                            n_blocks,
+                            1,
+                            "fallback",
+                        )
             return ExtractResult(url, "", [], n_blocks, 0, "empty")
 
         spans: list[Span] = []

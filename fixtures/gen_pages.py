@@ -234,12 +234,12 @@ def write_parquet(rows: list[dict], out_path: str, files: int | None = None) -> 
             pq.write_table(_to_table(part), f"{out_path}/part-{i:04d}.parquet")
 
 
-def compute_goldens(rows: list[dict]) -> list[dict]:
+def compute_goldens(rows: list[dict], fallback: bool = False) -> list[dict]:
     from extraction import extract_document
 
     out = []
     for r in rows:
-        res = extract_document(r["url"], r["html"], r["lang"])
+        res = extract_document(r["url"], r["html"], r["lang"], fallback)
         out.append(
             {
                 "url": res.url,
@@ -259,17 +259,24 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True, help="output parquet file path")
     ap.add_argument("--write-goldens", default=None, help="golden JSONL path")
+    ap.add_argument(
+        "--write-goldens-fallback",
+        default=None,
+        help="golden JSONL path with the O5 fallback ladder enabled",
+    )
     args = ap.parse_args()
 
     rows = gen_rows(args.n, args.seed)
     write_parquet(rows, args.out)
     print(f"wrote {len(rows)} pages -> {args.out}")
-    if args.write_goldens:
-        goldens = compute_goldens(rows)
-        with open(args.write_goldens, "w", encoding="utf-8") as f:
+    for path, fb in ((args.write_goldens, False), (args.write_goldens_fallback, True)):
+        if not path:
+            continue
+        goldens = compute_goldens(rows, fallback=fb)
+        with open(path, "w", encoding="utf-8") as f:
             for g in goldens:
                 f.write(json.dumps(g, ensure_ascii=False) + "\n")
-        print(f"wrote goldens -> {args.write_goldens}")
+        print(f"wrote goldens{' (fallback)' if fb else ''} -> {path}")
 
 
 if __name__ == "__main__":

@@ -38,6 +38,16 @@ def goldens_unit() -> list[dict]:
 
 
 @pytest.fixture(scope="session")
+def goldens_unit_fallback() -> list[dict]:
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "goldens", "sf_unit_fallback.jsonl",
+    )
+    with open(golden_path, encoding="utf-8") as f:
+        return [json.loads(line) for line in f]
+
+
+@pytest.fixture(scope="session")
 def pages_small_rows() -> list[dict]:
     return gen_rows(400, seed=7)
 

@@ -172,3 +172,42 @@ def test_extract_document_deterministic():
     a = extract_document("u", html, "")
     b = extract_document("u", html, "")
     assert a == b
+
+
+def test_fallback_rescues_best_block():
+    """O5 ladder: all blocks fail the keep rule -> the best-scoring block is
+    kept unconditionally with status='fallback' (ref empty-result retry,
+    text_detection_yolov8.py:182-209)."""
+    html = (
+        '<nav><a href="/">home</a> <a href="/b">blog</a></nav>'
+        "<p>short paragraph</p>"
+        '<footer><a href="/t">terms</a></footer>'
+    ).encode()
+    base = extract_document("u", html, "en")
+    assert base.status == "empty" and base.n_kept == 0
+    fb = extract_document("u", html, "en", fallback=True)
+    assert fb.status == "fallback"
+    assert fb.extracted_text == "short paragraph"  # highest score: 15 chars, no links
+    assert fb.n_kept == 1 and fb.n_blocks == base.n_blocks
+    assert fb.spans[0].start == 0 and fb.spans[0].end == len(fb.extracted_text)
+
+
+def test_fallback_noop_when_keep_rule_passes():
+    html = f"<p>{LONG}</p>".encode()
+    assert extract_document("u", html, "en", fallback=True) == extract_document(
+        "u", html, "en"
+    )
+
+
+def test_fallback_zero_blocks_stays_empty():
+    assert extract_document("u", b"<body> \n\t </body>", "en", fallback=True).status == "empty"
+
+
+def test_fallback_tie_breaks_to_lowest_block_id():
+    from extraction.segment import segment_blocks
+    from extraction.core import best_block
+
+    html = "<p>same text here</p><p>same text here</p>"
+    blocks = segment_blocks(html)
+    assert blocks[0].score == blocks[1].score
+    assert best_block(blocks).block_id == 0
