@@ -372,14 +372,54 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
-# Sketch op (HLL): no cross-engine oracle exists (different sketch impls), so
-# this is a rows-only check by design — the exact distinct count is returned
-# alongside so the sketch error is visible in the result itself.
-_SQL_SKETCH_SPARK = """
+# Sketch op: KMV (k-minimum-values) distinct-count estimator. Unlike HLL —
+# whose sketch bytes are engine-specific and admit no cross-engine oracle —
+# KMV over md5 is fully deterministic: both engines find the k-th smallest
+# distinct hash and estimate (k-1)/frac(kth). All arithmetic is integer
+# (md5-prefix → 32-bit int, BIGINT floor-division), so the estimate matches
+# bit-for-bit. The exact count is returned alongside so sketch error stays
+# visible (sf0.001 exercises the <k exact branch, sf0.01 the estimate branch).
+# Scale note: the DISTINCT pre-aggregation is the same map-side-combined
+# shuffle as count(DISTINCT); the per-group window runs over at most the
+# distinct-hash set, and a 100 TB deployment would cap it with a partial
+# top-k (min_by-style) combiner — semantics identical.
+_KMV_K = 32
+# md5-prefix → integer: Spark has conv(hex,16,10); DuckDB builds the same
+# value positionally (no strtol), mirroring the simhash strpos pattern.
+_KMV_HEX_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1) * {16 ** (8 - p)}"
+    for p in range(1, 9)
+)
+_SQL_SKETCH_SPARK = f"""
+WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS STRING)) AS m FROM events),
+r AS (SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h)
 SELECT event_type,
-       CAST(approx_count_distinct(user_id) AS BIGINT) AS approx_users,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
-FROM events GROUP BY event_type
+       CAST(max(nd) AS BIGINT) AS exact_users,
+       CAST(CASE WHEN max(nd) < {_KMV_K} THEN max(nd)
+            ELSE ({_KMV_K - 1} * 4294967296L)
+                 DIV max(CASE WHEN rk = {_KMV_K}
+                         THEN CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT) END)
+            END AS BIGINT) AS kmv_users
+FROM r WHERE rk <= {_KMV_K}
+GROUP BY event_type
+"""
+_SQL_SKETCH_DUCK = f"""
+WITH h AS (SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS m FROM events),
+r AS (SELECT event_type, m,
+             row_number() OVER (PARTITION BY event_type ORDER BY m) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h)
+SELECT event_type,
+       CAST(max(nd) AS BIGINT) AS exact_users,
+       CAST(CASE WHEN max(nd) < {_KMV_K} THEN max(nd)
+            ELSE ({_KMV_K - 1} * 4294967296)
+                 // max(CASE WHEN rk = {_KMV_K} THEN {_KMV_HEX_DUCK} END)
+            END AS BIGINT) AS kmv_users
+FROM r WHERE rk <= {_KMV_K}
+GROUP BY event_type
 """
 
 # Event-time tumbling window rollup (batch form of streaming windowed agg)
@@ -438,6 +478,45 @@ sh AS (
 shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
 """
 
+# Shuffle-free shingling (Spark production path): shingles stay an ARRAY
+# inside each row — split → transform(sequence(...)) builds the token 3-grams
+# and array_min(transform(...)) takes each hash-family minimum, all per-row
+# JVM expressions. No posexplode, no window, ZERO Exchange before (or after —
+# there is no aggregate) the signature computation; the plan is scan→project.
+# At 100 TB this is the difference between shuffling every token in the
+# corpus and shuffling nothing. The windowed form above (`_SHINGLES_SPARK`)
+# is retained only as the DuckDB oracle's structural twin and for the Jaccard
+# query, whose set-intersection join genuinely needs shingle rows.
+_MINHASH_FAST_SIG_COLS = ",\n       ".join(
+    f"array_min(transform(shingles, sh -> md5('{i}:' || sh))) AS sig{i}"
+    for i in range(8)
+)
+_MINHASH_FAST_CTES = """
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         transform(sequence(0, size(toks) - 3),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+  FROM t WHERE size(toks) >= 3)
+"""
+_MINHASH_FAST_SPARK = (
+    _MINHASH_FAST_CTES + f"SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s"
+)
+# LSH pairs over the shuffle-free signatures: the only Exchange left in the
+# pairs plan is the banded equi-join itself — the legitimate (band, key)
+# candidate co-location shuffle.
+_MINHASH_FAST_PAIRS = _MINHASH_FAST_CTES + f"""
+, sig AS (SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s)
+, bands AS (
+  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig UNION ALL
+  SELECT doc_id, 1, sig2 || sig3 FROM sig UNION ALL
+  SELECT doc_id, 2, sig4 || sig5 FROM sig UNION ALL
+  SELECT doc_id, 3, sig6 || sig7 FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
 # MinHash signatures: 8 md5-family hashes, lexicographic min (SURVEY training
 # ops; signature equality is the LSH band key)
 _MINHASH_BODY = """
@@ -462,6 +541,74 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id
 """ % _MINHASH_BODY
+
+# Corpus-level dedup resolution: connected components over the LSH candidate
+# pairs → one canonical representative (min doc_id) per near-duplicate
+# cluster. Spark side: iterative min-label propagation via self-joins — the
+# standard large-scale CC formulation (cf. "large-star/small-star"; converges
+# in O(component diameter) rounds, each round one equi-join shuffle on doc_id,
+# which near-dup graphs keep tiny). Singletons keep cluster_id = doc_id.
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(_MINHASH_FAST_PAIRS)
+    # undirected: propagate labels both ways
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).persist()
+    labels = (
+        spark.table("documents")
+        .select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
+        .persist()
+    )
+    for _ in range(50):  # bound >> any real component diameter
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), F.col("lbl")
+        )
+        new_labels = (
+            labels.select("doc_id", "lbl")
+            .union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lbl").cast("bigint").alias("cluster_id"),
+    )
+
+
+# Oracle: transitive closure by recursive CTE, cluster = min reachable id.
+# Reuses the windowed shingle CTEs + the pairs body (wrapped as a CTE) so the
+# candidate graph is definitionally the same one `minhash_lsh_pairs` checks.
+_pairs_ctes, _pairs_select = _MINHASH_PAIRS_BODY.split("SELECT DISTINCT", 1)
+_DEDUP_CLUSTERS_DUCK = (
+    _SHINGLES_DUCK.replace("WITH", "WITH RECURSIVE", 1)
+    + _pairs_ctes
+    + ", pairs AS (SELECT DISTINCT"
+    + _pairs_select
+    + """)
+, edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(v) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+"""
+)
+
 
 # n-gram Jaccard near-dup pairs over a bounded candidate set
 _JACCARD_BODY = """
@@ -746,6 +893,78 @@ FROM documents
 """
 
 
+# Multimodal resize / frame-sample as oracle-checked queries. The payloads
+# are the documents' utf-8 bytes (pure ASCII in the testdata, asserted at
+# gen time, so DuckDB's VARCHAR slicing sees the same bytes Python does).
+# Target 8×8 = 64-byte thumbs and 64-byte frames so the stride/explode paths
+# actually branch on the 47-558-byte corpus. The binary `thumb` column is
+# surfaced as (sha, length) — the driver's value-hash compares scalars.
+_MM_THUMB = 8  # target_w = target_h
+_MM_FRAME_BYTES = 64
+_MM_EVERY_N = 2
+
+
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.multimodal import resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = resize_images(payloads, target_w=_MM_THUMB, target_h=_MM_THUMB)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("thumb").cast("bigint").alias("n_thumb_bytes"),
+        "thumb_sha",
+    )
+
+
+# stride = max(1, n // 64); thumb = payload[::stride][:64] recreated via a
+# positional character list (DuckDB has no strided slice or BLOB substring).
+_SQL_MM_RESIZE_DUCK = f"""
+WITH b AS (SELECT doc_id, text AS p, length(text) AS n FROM documents),
+s AS (SELECT doc_id, p, n, greatest(1, n // {_MM_THUMB * _MM_THUMB}) AS stride FROM b),
+t AS (SELECT doc_id,
+        list_aggregate(
+          list_transform(
+            range(0, least({_MM_THUMB * _MM_THUMB}, (n + stride - 1) // stride)),
+            i -> substr(p, 1 + i * stride, 1)),
+          'string_agg', '') AS thumb
+      FROM s)
+SELECT doc_id,
+       CAST({_MM_THUMB} AS BIGINT) AS width,
+       CAST({_MM_THUMB} AS BIGINT) AS height,
+       CAST(length(thumb) AS BIGINT) AS n_thumb_bytes,
+       sha256(thumb) AS thumb_sha
+FROM t
+"""
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(payloads, every_n=_MM_EVERY_N, frame_bytes=_MM_FRAME_BYTES)
+
+
+_SQL_MM_FRAMES_DUCK = f"""
+WITH b AS (SELECT doc_id, text AS p, length(text) AS n FROM documents),
+f AS (SELECT doc_id, p,
+             unnest(range(0, greatest(1, n // {_MM_FRAME_BYTES}), {_MM_EVERY_N})) AS frame_idx
+      FROM b)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       sha256(substr(p, frame_idx * {_MM_FRAME_BYTES} + 1, {_MM_FRAME_BYTES})) AS frame_sha,
+       CAST(length(substr(p, frame_idx * {_MM_FRAME_BYTES} + 1, {_MM_FRAME_BYTES})) AS BIGINT) AS n_bytes
+FROM f
+"""
+
+
 # Training-data corpus filter: the end-to-end composition a pretraining
 # pipeline runs — language-ID gate + quality thresholds + exact-dedup
 # representative selection, yielding the kept document set.
@@ -906,10 +1125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": _sql_query(_SQL_CUBE, "documents"),
         # training-data pipeline operators
         "dedup_exact": _sql_query(_SQL_DEDUP_EXACT, "documents"),
-        "minhash_signatures": _sql_query(_SHINGLES_SPARK + _MINHASH_BODY, "documents"),
-        "minhash_lsh_pairs": _sql_query(
-            _SHINGLES_SPARK + _MINHASH_PAIRS_BODY, "documents"
-        ),
+        "minhash_signatures": _sql_query(_MINHASH_FAST_SPARK, "documents"),
+        "minhash_lsh_pairs": _sql_query(_MINHASH_FAST_PAIRS, "documents"),
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard_pairs": _sql_query(_SHINGLES_SPARK + _JACCARD_BODY, "documents"),
         "simhash_fingerprint": _sql_query(_SIMHASH_SPARK, "documents"),
         "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
@@ -921,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sql_query(_SQL_FINGERPRINT_SPARK, "documents"),
         "corpus_filter": _sql_query(_SQL_CORPUS_FILTER_SPARK, "documents"),
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         # relational demonstrations
         "tpch_q1": _sql_query(_SQL_TPCH_Q1, "lineitem"),
         "tpch_q3_top10": _sql_query(
@@ -952,8 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "window_rollup": _SQL_WINDOW_ROLLUP_DUCK,
         "pivot_event_counts": _SQL_PIVOT_DUCK,
         "percentiles": _SQL_PERCENTILE_DUCK,
-        # sketch_distinct_users intentionally has NO oracle (HLL impls differ
-        # across engines); driver records the weaker rows-only check.
+        "sketch_distinct_users": _SQL_SKETCH_DUCK,
         "running_total": _SQL_RUNNING_TOTAL,
         "rank_family": _SQL_RANKS,
         "set_ops": _SQL_SET_OPS,
@@ -961,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signatures": _SHINGLES_DUCK + _MINHASH_BODY,
         "minhash_lsh_pairs": _SHINGLES_DUCK + _MINHASH_PAIRS_BODY,
+        "dedup_clusters": _DEDUP_CLUSTERS_DUCK,
         "ngram_jaccard_pairs": _SHINGLES_DUCK + _JACCARD_BODY,
         "simhash_fingerprint": _SIMHASH_DUCK,
         "embedding_topk": _TOPK_DUCK,
@@ -972,6 +1192,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_FINGERPRINT_DUCK,
         "corpus_filter": _SQL_CORPUS_FILTER,
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
+        "multimodal_resize": _SQL_MM_RESIZE_DUCK,
+        "multimodal_frames": _SQL_MM_FRAMES_DUCK,
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,
         "tpch_q5_like": _SQL_TPCH_Q5,

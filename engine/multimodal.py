@@ -103,19 +103,19 @@ def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> Data
 FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame_sha string, n_bytes bigint"
 
 
-def _frame_sample_batches(every_n: int):
+def _frame_sample_batches(every_n: int, frame_bytes: int = 4096):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_sha": [], "n_bytes": []}
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 p = p or b""
                 # STUB frame-sample (1 row -> N frame rows): a real impl
-                # demuxes video; the fake slices fixed 4 KiB "frames" and
+                # demuxes video; the fake slices fixed-size "frames" and
                 # keeps every `every_n`-th — exercising the explode-shaped
                 # output a real frame sampler needs.
-                n_frames = max(1, len(p) // 4096)
+                n_frames = max(1, len(p) // frame_bytes)
                 for i in range(0, n_frames, every_n):
-                    frame = p[i * 4096 : (i + 1) * 4096]
+                    frame = p[i * frame_bytes : (i + 1) * frame_bytes]
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(i)
                     rows["frame_sha"].append(hashlib.sha256(frame).hexdigest())
@@ -125,6 +125,10 @@ def _frame_sample_batches(every_n: int):
     return fn
 
 
-def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+def sample_frames(
+    df: DataFrame, every_n: int = 10, frame_bytes: int = 4096
+) -> DataFrame:
     """(doc_id, payload) -> every-Nth fake frame rows (demux stubbed)."""
-    return df.mapInPandas(_frame_sample_batches(every_n), schema=FRAMES_SCHEMA)
+    return df.mapInPandas(
+        _frame_sample_batches(every_n, frame_bytes), schema=FRAMES_SCHEMA
+    )

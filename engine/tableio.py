@@ -77,6 +77,22 @@ def write_table(df: DataFrame, path: str) -> None:
     os.rename(tmp, path)
 
 
+def merge_sql(table_ident: str) -> str:
+    """The exact MERGE INTO statement ``merge_by_url_iceberg`` executes.
+
+    Factored out so the SQL contract is testable without an Iceberg runtime:
+    ``tests/test_tableio.py`` feeds this text to Spark's own SQL parser and
+    asserts it yields a MergeIntoTable logical plan (VERDICT r1 — the
+    statement had never been exercised)."""
+    return f"""
+        MERGE INTO {table_ident} t
+        USING _updates s
+        ON t.url = s.url
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+
+
 def merge_by_url_iceberg(
     spark: SparkSession, table_ident: str, updates: DataFrame
 ) -> None:
@@ -85,15 +101,7 @@ def merge_by_url_iceberg(
     in this sandbox (no runtime jar), kept as the config-switch target so the
     fallback below is a drop-in (SURVEY.md §7.3 H5)."""
     updates.createOrReplaceTempView("_updates")
-    spark.sql(
-        f"""
-        MERGE INTO {table_ident} t
-        USING _updates s
-        ON t.url = s.url
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *
-        """
-    )
+    spark.sql(merge_sql(table_ident))
 
 
 def merge_by_url(

@@ -48,6 +48,21 @@ def test_entry_runs(spark):
     assert {"url", "extracted_text", "status"} <= set(df.columns)
 
 
+def test_hll_sketch_within_tolerance(spark):
+    """HLL coverage: approx_count_distinct sketches are engine-specific, so
+    the CORRECTNESS row now uses the deterministic KMV estimator instead
+    (exact cross-engine match); the HLL operator itself stays pinned here —
+    the estimate must sit within its published ~2.3% rsd (10% margin)."""
+    entry_mod._load(spark, SF_DIR, "events")
+    rows = spark.sql(
+        "SELECT event_type, approx_count_distinct(user_id) AS a, "
+        "count(DISTINCT user_id) AS e FROM events GROUP BY event_type"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.a - r.e) <= max(2, 0.1 * r.e), r
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
 def test_query_matches_oracle(spark, name):
     q = entry_mod.queries()[name]

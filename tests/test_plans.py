@@ -63,6 +63,28 @@ def test_broadcast_join_for_small_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_minhash_signatures_plan_has_zero_exchange(spark):
+    """VERDICT r1: shingle generation must not shuffle the corpus tokens.
+    The production signature path is per-row array expressions — the plan is
+    scan→project with NO Exchange anywhere."""
+    import __spark_entry__ as em
+
+    df = em.queries()["minhash_signatures"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "posexplode" not in plan.lower() and "Window" not in plan
+
+
+def test_minhash_pairs_only_shuffle_is_band_join(spark):
+    """The pairs plan may shuffle only on the banded equi-join (and its
+    DISTINCT) — never on tokens or doc_id windows."""
+    import __spark_entry__ as em
+
+    df = em.queries()["minhash_lsh_pairs"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Window" not in plan and "posexplode" not in plan.lower()
+
+
 def test_resume_anti_join_broadcasts_done_set(spark, pages_unit_path, tmp_path):
     from engine import tableio
 

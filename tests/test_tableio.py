@@ -37,6 +37,19 @@ def test_iceberg_unavailable_in_sandbox(spark):
     assert tableio.iceberg_available(spark) is False  # documented sandbox fact
 
 
+def test_iceberg_merge_statement_parses(spark):
+    """SQL contract for the unreachable Iceberg path (VERDICT r1): Spark's
+    own parser must accept the exact statement merge_by_url_iceberg runs and
+    produce a MergeIntoTable plan with both WHEN clauses — catching syntax
+    rot without needing the runtime jar."""
+    sql = tableio.merge_sql("cat.db.extracted")
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"
+    s = plan.toString()
+    assert "UpdateStarAction" in s or "update" in s.lower()
+    assert "InsertStarAction" in s or "insert" in s.lower()
+
+
 def _bucket_state(path):
     """{bucket dir -> sorted [(file, mtime_ns, size)]} for swap detection."""
     state = {}
