@@ -14,10 +14,12 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -55,14 +57,13 @@ def main() -> None:
     # warm-up (JVM/Arrow/python-worker spin-up), small slice
     _force(run_extract(pages.limit(512), mode="fused"))
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
-    # best of 2: this VM shows host-level throttling windows (CLAUDE.md)
-    best = None
-    for _ in range(2):
+    # best of 3: this VM shows host-level throttling windows (CLAUDE.md)
+    runs = []
+    for _ in range(3):
         t0 = time.monotonic()
         _force(run_extract(pages, mode="fused"))
-        wall = time.monotonic() - t0
-        best = wall if best is None or wall < best else best
-    timings["extract_fused"] = round(best, 3)
+        runs.append(time.monotonic() - t0)
+    timings["extract_fused"] = round(min(runs), 3)
     docs_per_sec = round(n_docs / timings["extract_fused"], 1)
 
     # staged ships tiny block rows -> big Arrow batches win (see engine/stages.py)
@@ -90,6 +91,22 @@ def main() -> None:
         _force(qs[name](spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # local[8] flagship in a fresh subprocess (one JVM can't switch local[N];
+    # CLAUDE.md measurement discipline) — makes per-round scaling regressions
+    # visible in BENCH_r{N}.json without rerunning BENCH/bench_scaling.py.
+    local8_docs_per_sec = None
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "BENCH", "run_throughput.py"),
+             "--master", "local[8]", "--pages", pages_path, "--warmup", "512"],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        local8 = json.loads(out.stdout.strip().splitlines()[-1])
+        timings["extract_fused_local8"] = local8["wall_sec"]
+        local8_docs_per_sec = local8["docs_per_sec"]
+    except Exception:  # noqa: BLE001 — bench must still emit its JSON line
+        pass
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -99,8 +116,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n": 3,
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": docs_per_sec,
+                "extract_docs_per_sec_local8": local8_docs_per_sec,
             }
         )
     )
