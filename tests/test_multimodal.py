@@ -1,6 +1,6 @@
 """Multimodal binary plumbing: schemas, batch shapes, explode semantics, and
-determinism — the decode itself is stubbed (no media libs in sandbox) but
-everything Spark-side is real."""
+determinism. PNM (binary PGM/PPM) decodes for REAL via the pure-Python
+parser; compressed formats stay PIL-gated (no media libs in sandbox)."""
 
 from __future__ import annotations
 
@@ -10,8 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from engine.multimodal import (
+    ImageDecodeError,
     decode_image,
+    decode_images,
+    decode_pnm,
     extract_binary_meta,
+    resize_decoded,
     resize_images,
     sample_frames,
     _HAS_PIL,
@@ -65,3 +69,51 @@ def test_decode_stub_raises_without_pil():
         pytest.skip("PIL present in this environment")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_decode_pnm_real_path():
+    pix = bytes(range(24))  # 4x2 RGB
+    assert decode_pnm(b"P6\n# c\n4 2\n255\n" + pix) == (4, 2, 3, pix)
+    assert decode_pnm(b"P5 2 2 255\n" + bytes(4))[:3] == (2, 2, 1)
+    # decode_image routes PNM to the native parser even without PIL
+    assert decode_image(b"P6\n4 2\n255\n" + pix) == (4, 2, 3, pix)
+    for bad in (
+        b"GIF89a",                      # unsupported magic
+        b"P6\n4 2\n255\n" + pix[:7],    # truncated raster
+        b"P6\n4 2\n65535\n" + pix,      # 16-bit maxval
+        b"P6\nx 2\n255\n" + pix,        # non-numeric dim
+    ):
+        with pytest.raises(ImageDecodeError):
+            decode_pnm(bad)
+
+
+def test_decode_images_stage_emits_error_rows(spark):
+    """Corrupt payloads become status='error:*' rows (S1 convention), good
+    ones decode for real — in one Arrow batch, never raising."""
+    pix = bytes(range(18))  # 3x2 RGB
+    rows = spark.createDataFrame(
+        [(1, b"P6\n3 2\n255\n" + pix), (2, b"NOTANIMAGE"), (3, b"P6\n3 2\n255\nxy")],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_images(rows).collect()}
+    assert got[1]["status"] == "ok"
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (3, 2, 3)
+    assert got[1]["pixel_sha"] == hashlib.sha256(pix).hexdigest()
+    assert got[2]["status"] == "error:unsupported"
+    assert got[3]["status"] == "error:truncated raster"
+
+
+def test_resize_decoded_nearest_neighbor(spark):
+    """2x2 thumb of a 4x3 RGB ramp: source pixels (0,0),(0,2),(1,0),(1,2)."""
+    w, h = 4, 3
+    pix = bytes(range(w * h * 3))
+    rows = spark.createDataFrame(
+        [(7, b"P6\n4 3\n255\n" + pix)], "doc_id long, payload binary"
+    )
+    r = resize_decoded(rows, out_w=2, out_h=2).collect()[0]
+    exp = b"".join(
+        pix[((ti * h // 2) * w + (tj * w // 2)) * 3:][:3]
+        for ti in range(2) for tj in range(2)
+    )
+    assert r["status"] == "ok"
+    assert r["thumb_sha"] == hashlib.sha256(exp).hexdigest()
