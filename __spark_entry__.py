@@ -857,6 +857,84 @@ FROM bands a JOIN bands c
 _ANN_LSH_SPARK = _ann_lsh_sql("spark")
 _ANN_LSH_DUCK = _ann_lsh_sql("duck")
 
+
+# IVF (inverted-file) ANN — the second scale path beside LSH. Codebook =
+# deterministic sample of database vectors (vec_id % 31 == 0, ~16 centroids
+# at 500 vectors; a real deployment trains k-means, but the *plan shape* is
+# identical). Coarse quantizer: integer dot product over floor(x*1000)-
+# quantized components (same cross-engine exactness trick as the LSH path;
+# ties → lowest centroid id). Every database vector joins ONLY the tiny
+# broadcastable codebook (map-side at 100 TB); queries probe their
+# `nprobe`=4 nearest lists and exact cosine runs only within probed lists —
+# the candidate join co-locates on list_id, never all-pairs.
+_IVF_NPROBE = 4
+_IVF_CENT_RULE = "vec_id >= 10 AND vec_id % 31 = 0"
+
+
+def _ann_ivf_sql(dialect: str) -> str:
+    if dialect == "spark":
+        e_cte = (
+            "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q "
+            "FROM embeddings"
+        )
+        dot_q = (
+            "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+        cosine = (
+            "aggregate(zip_with(a.v, d.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+            " / (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"
+            " * sqrt(aggregate(transform(d.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x)))"
+        )
+    else:
+        e_cte = (
+            "SELECT vec_id, embedding::DOUBLE[] AS v, "
+            "list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS q "
+            "FROM embeddings"
+        )
+        dot_q = "list_dot_product({a}, {b})"
+        cosine = (
+            "list_dot_product(a.v, d.v)"
+            " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(d.v, d.v)))"
+        )
+    return f"""
+WITH e AS ({e_cte}),
+cent AS (SELECT vec_id AS cid, q AS cq FROM e WHERE {_IVF_CENT_RULE}),
+assign AS (
+  SELECT vec_id AS list_vec, cid AS list_id FROM (
+    SELECT d.vec_id, c.cid,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY {dot_q.format(a="d.q", b="c.cq")} DESC, c.cid) AS rn
+    FROM e d CROSS JOIN cent c WHERE d.vec_id >= 10) t
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS probe_id FROM (
+    SELECT qv.vec_id, c.cid,
+           row_number() OVER (PARTITION BY qv.vec_id
+                              ORDER BY {dot_q.format(a="qv.q", b="c.cq")} DESC, c.cid) AS rn
+    FROM e qv CROSS JOIN cent c WHERE qv.vec_id < 10) t
+  WHERE rn <= {_IVF_NPROBE}),
+cands AS (
+  SELECT p.query_id, s.list_vec AS neighbor_id
+  FROM probes p JOIN assign s ON s.list_id = p.probe_id),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         {cosine} AS sim
+  FROM cands c JOIN e a ON a.vec_id = c.query_id
+               JOIN e d ON d.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) + 0 AS DOUBLE) AS sim_r FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM sims) t
+WHERE rank <= 3
+"""
+
+
+_ANN_IVF_SPARK = _ann_ivf_sql("spark")
+_ANN_IVF_DUCK = _ann_ivf_sql("duck")
+
 # Text analysis: heuristic language-ID, quality score, token counts, fingerprint
 _SQL_LANG_ID_SPARK = r"""
 SELECT doc_id,
@@ -1252,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
         "embedding_near_dup": _sql_query(_NEARDUP_SPARK, "embeddings"),
         "ann_lsh_candidates": _sql_query(_ANN_LSH_SPARK, "embeddings"),
+        "ann_ivf_topk": _sql_query(_ANN_IVF_SPARK, "embeddings"),
         "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
         "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
@@ -1308,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": _TOPK_DUCK,
         "embedding_near_dup": _NEARDUP_DUCK,
         "ann_lsh_candidates": _ANN_LSH_DUCK,
+        "ann_ivf_topk": _ANN_IVF_DUCK,
         "lang_id": _SQL_LANG_ID_DUCK,
         "quality_score": _SQL_QUALITY_DUCK,
         "token_count": _SQL_TOKENS_DUCK,

@@ -48,6 +48,23 @@ def test_ann_lsh_recall_and_candidate_ratio(spark):
     assert recall >= 0.3  # weak-similarity data; see planted test below
 
 
+def test_ann_ivf_recall_vs_exact_topk(spark):
+    """IVF with nprobe=4 of ~16 lists must recover a meaningful share of the
+    exact brute-force top-3 neighbors (deterministic: seeded data, fixed
+    codebook rule). Perfect recall is not expected — probing 1/4 of the
+    lists is the point of IVF."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in em.queries()["ann_ivf_topk"](spark, sf).collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in em.queries()["embedding_topk"](spark, sf).collect()}
+    assert len(ivf) == 30  # top-3 for each of 10 queries
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.3, recall
+
+
 def test_ann_lsh_scheme_recall_on_planted_near_dups():
     """The banding scheme itself must recall >=0.9 of PLANTED near-duplicates
     (cos ~ 0.98) — the regime LSH dedup actually targets. Computed in numpy
