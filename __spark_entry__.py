@@ -467,6 +467,44 @@ FROM r WHERE rk <= {_KMV_K}
 GROUP BY event_type
 """
 
+# As-of join — the classic custom operator Spark lacks natively. The Spark
+# side is the composition that scales: tag both streams, union, and carry
+# the most recent purchase timestamp forward with a running max over a
+# (user_id, ts) window — ONE shuffle on user_id, no range explosion, no
+# per-row Python. Tie discipline: at equal ts, purchases sort before clicks
+# (k=0 < 1) so `ts >= purchase_ts` matches ASOF semantics; only p_ts (not
+# row identity) is emitted, so equal-ts purchase duplicates can't diverge.
+# The oracle is DuckDB's native ASOF LEFT JOIN. floor(epoch(..)) because
+# DuckDB CAST(double AS BIGINT) rounds while Spark unix_timestamp floors.
+_SQL_ASOF_SPARK = """
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN ts END AS p_ts,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS k
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT user_id, ts, event_id, k,
+         max(p_ts) OVER (PARTITION BY user_id ORDER BY ts, k
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+  FROM u)
+SELECT event_id, user_id,
+       CAST(unix_timestamp(ts) AS BIGINT) AS click_epoch,
+       CAST(unix_timestamp(lp) AS BIGINT) AS last_purchase_epoch,
+       CAST(unix_timestamp(ts) - unix_timestamp(lp) AS BIGINT) AS gap_s
+FROM m WHERE k = 1
+"""
+_SQL_ASOF_DUCK = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS last_purchase_epoch,
+       CAST(floor(epoch(c.ts)) - floor(epoch(p.ts)) AS BIGINT) AS gap_s
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 # Event-time tumbling window rollup (batch form of streaming windowed agg)
 _SQL_WINDOW_ROLLUP_SPARK = """
 SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -1308,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": _sql_query(_SQL_READING_ORDER, "documents"),
         "reassembly": _sql_query(_SQL_REASSEMBLY_SPARK, "documents"),
         "sessionize": _sql_query(_SQL_SESSIONIZE_SPARK, "events"),
+        "asof_join": _sql_query(_SQL_ASOF_SPARK, "events"),
         "resume_anti_join": _sql_query(_SQL_ANTI_SPARK, "documents"),
         "page_failure_rollup": _sql_query(_SQL_FAILURE_ROLLUP, "documents"),
         "size_filter": _sql_query(_SQL_SIZE_FILTER, "documents"),
@@ -1366,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         "reading_order": _SQL_READING_ORDER,
         "reassembly": _SQL_REASSEMBLY_DUCK,
         "sessionize": _SQL_SESSIONIZE,
+        "asof_join": _SQL_ASOF_DUCK,
         "resume_anti_join": _SQL_ANTI_DUCK,
         "page_failure_rollup": _SQL_FAILURE_ROLLUP,
         "size_filter": _SQL_SIZE_FILTER,
