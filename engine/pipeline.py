@@ -168,15 +168,29 @@ def run_staged(
 
 
 def run_fused(
-    pages: DataFrame, num_parts: int | None = None, fallback: bool = False
+    pages: DataFrame,
+    num_parts: int | None = None,
+    fallback: bool = False,
+    io: str = "arrow",
 ) -> DataFrame:
+    """Fused extraction. ``io='arrow'`` (default) runs the mapInArrow stage —
+    no pandas materialization of the big binary batches; ``io='pandas'`` is
+    the twin kept for the differential discipline (golden test pins both to
+    identical bytes)."""
+    prepared = _prepare(pages, num_parts)
+    if io == "arrow":
+        from engine.stages import make_extract_fused_arrow
+
+        return prepared.mapInArrow(
+            make_extract_fused_arrow(fallback), schema=EXTRACTED_CORE_SCHEMA
+        )
     if fallback:
         from engine.stages import make_extract_fused
 
         fn = make_extract_fused(True)
     else:
         fn = extract_fused
-    return _prepare(pages, num_parts).mapInPandas(fn, schema=EXTRACTED_CORE_SCHEMA)
+    return prepared.mapInPandas(fn, schema=EXTRACTED_CORE_SCHEMA)
 
 
 def run_extract(

@@ -62,6 +62,20 @@ def test_staged_equals_fused(spark, pages_small_path):
     assert shuffled == fused
 
 
+def test_fused_arrow_equals_pandas(spark, pages_small_path):
+    """The mapInArrow production stage and its mapInPandas twin must emit
+    identical bytes — both call exactly the same extraction functions; the
+    only difference is the batch carrier (no pandas materialization)."""
+    pages = spark.read.parquet(pages_small_path)
+    arrow = _collect_results(pipeline.run_fused(pages, io="arrow"))
+    pandas = _collect_results(pipeline.run_fused(pages, io="pandas"))
+    assert arrow == pandas
+    # fallback ladder through the arrow carrier too
+    af = _collect_results(pipeline.run_fused(pages, fallback=True, io="arrow"))
+    pf = _collect_results(pipeline.run_fused(pages, fallback=True, io="pandas"))
+    assert af == pf
+
+
 def test_staged_local_plan_has_no_exchange(spark, pages_small_path):
     """The default staged plan must be fully partition-local: three
     mapInPandas stages, zero Exchange — extracted text never crosses the
