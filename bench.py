@@ -84,6 +84,8 @@ def main() -> None:
         "minhash_signatures",
         "simhash_fingerprint",
         "embedding_topk",
+        "ann_ivf_topk",
+        "asof_join",
         "quality_score",
         "broadcast_rollup",
     ):
