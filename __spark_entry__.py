@@ -1150,23 +1150,30 @@ def _ppm_payload_col():
 
 
 def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 17th payload is deterministically corrupted (magic swapped for
+    'XX') so the corrupt→error-row path is exercised THROUGH the gate, not
+    just in pytest: the oracle emits the matching error rows."""
     from engine.multimodal import decode_images
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_images(
-        docs.select(F.col("doc_id"), _ppm_payload_col().alias("payload"))
-    )
+    payload = F.when(
+        F.expr("doc_id % 17 = 0"),
+        F.encode(F.expr("'XX' || text"), "utf-8"),
+    ).otherwise(_ppm_payload_col())
+    return decode_images(docs.select(F.col("doc_id"), payload.alias("payload")))
 
 
 _SQL_IMG_DECODE_DUCK = f"""
 WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text FROM documents),
 px AS (SELECT doc_id, w, h,
               substr(repeat(text, 8), 1, (w * h * 3)::INT) AS pix FROM p)
-SELECT doc_id, 'ok' AS status,
-       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-       CAST(3 AS BIGINT) AS channels,
-       CAST(length(pix) AS BIGINT) AS n_pixel_bytes,
-       sha256(pix) AS pixel_sha
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN 'error:unsupported' ELSE 'ok' END AS status,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE w END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE h END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 3 END AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE length(pix) END AS BIGINT) AS n_pixel_bytes,
+       CASE WHEN doc_id % 17 = 0 THEN '' ELSE sha256(pix) END AS pixel_sha
 FROM px
 """
 
