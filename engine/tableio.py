@@ -69,6 +69,47 @@ def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path).drop("bucket")
 
 
+def _write_layout(path: str, n_buckets: int) -> None:
+    """Record the bucket count next to the data (the parquet-fallback analog
+    of Iceberg's partition-spec metadata; underscore-prefixed files are
+    ignored by Spark's parquet listing)."""
+    with open(os.path.join(path, "_layout.json"), "w", encoding="utf-8") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def read_url(spark: SparkSession, path: str, url: str) -> DataFrame | None:
+    """Bucket-pruned point lookup: read ONLY the ``bucket=N`` subdirectory
+    the url hashes into — O(table/n_buckets) I/O instead of a full scan,
+    the parquet emulation of Iceberg's bucket-transform partition pruning.
+    Falls back to a pruned full-table plan on flat/manifest-less layouts.
+    Returns None when the table does not exist."""
+    if not os.path.exists(path):
+        return None
+    layout = os.path.join(path, "_layout.json")
+    if not _is_bucketed(path) or not os.path.exists(layout):
+        return read_table(spark, path).filter(F.col("url") == url)
+    with open(layout, encoding="utf-8") as f:
+        n_buckets = json.load(f)["n_buckets"]
+    # hash in the JVM so the lookup bucket always matches the writer's
+    b = (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(url)), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .first()["b"]
+    )
+    bucket_dir = f"{path}/bucket={b}"
+    if not os.path.exists(bucket_dir):
+        # url cannot exist: empty result with the table's schema, no data read
+        return read_table(spark, path).filter(F.lit(False))
+    return (
+        spark.read.option("basePath", path)
+        .parquet(bucket_dir)
+        .drop("bucket")
+        .filter(F.col("url") == url)
+    )
+
+
 def write_table(df: DataFrame, path: str) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
@@ -134,6 +175,7 @@ def merge_by_url(
         tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
         upd.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         os.rename(tmp, target_path)
+        _write_layout(target_path, n_buckets)
         return
     if not _is_bucketed(target_path):
         # one-time migration of a flat write_table layout: everything dirty
@@ -144,6 +186,7 @@ def merge_by_url(
         merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         shutil.rmtree(target_path)
         os.rename(tmp, target_path)
+        _write_layout(target_path, n_buckets)
         return
     dirty = sorted(
         r["bucket"] for r in upd.select("bucket").distinct().collect()
@@ -175,6 +218,8 @@ def merge_by_url(
         if os.path.exists(src):
             os.rename(src, dst)
     shutil.rmtree(tmp)
+    if not os.path.exists(os.path.join(target_path, "_layout.json")):
+        _write_layout(target_path, n_buckets)
 
 
 def remaining(pages: DataFrame, extracted_path: str) -> DataFrame:

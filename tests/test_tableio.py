@@ -101,6 +101,35 @@ def test_merge_rewrites_only_dirty_buckets(spark, pages_unit_path, tmp_path):
     assert final.filter(f"url = '{one_url}'").first()["lineage"] == "b"
 
 
+def test_read_url_prunes_to_one_bucket(spark, pages_unit_path, tmp_path):
+    """Point lookup reads only the bucket the url hashes into: result equals
+    the full-table filter, its scan lists exactly one bucket=N directory,
+    and misses/flat layouts degrade gracefully."""
+    out = str(tmp_path / "t")
+    pages = spark.read.parquet(pages_unit_path)
+    tableio.merge_by_url(spark, out, pipeline.run_extract(pages, run_id="a"),
+                         n_buckets=8)
+    assert os.path.exists(os.path.join(out, "_layout.json"))
+    url = spark.read.parquet(out).select("url").first()["url"]
+
+    got = tableio.read_url(spark, out, url)
+    full = spark.read.parquet(out).drop("bucket").filter(f"url = '{url}'")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in full.collect()]
+    # the pruned plan's file index lists exactly ONE path (the bucket dir;
+    # long paths are truncated in the plan string, so match the count)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryFileIndex(1 paths)" in plan, plan
+    # miss: empty result, same schema
+    miss = tableio.read_url(spark, out, "no-such-url")
+    assert miss.count() == 0 and set(miss.columns) == set(full.columns)
+    # flat layout fallback
+    flat = str(tmp_path / "flat")
+    tableio.write_table(pipeline.run_extract(pages.limit(8), run_id="b"), flat)
+    u2 = spark.read.parquet(flat).select("url").first()["url"]
+    assert tableio.read_url(spark, flat, u2).count() == 1
+    assert tableio.read_url(spark, str(tmp_path / "absent"), "x") is None
+
+
 def test_merge_migrates_flat_layout(spark, pages_unit_path, tmp_path):
     """A table written flat (write_table) is migrated to buckets on first
     merge, with upsert semantics intact."""
