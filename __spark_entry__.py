@@ -1206,6 +1206,39 @@ FROM px
 """
 
 
+# Deterministic dataset split + sampling: the reproducible train/val/test
+# assignment every training pipeline needs. Assignment key is a content
+# hash (md5 — identical in both engines and stable across partitionings,
+# unlike xxhash64 which differs across engines, or rand() which differs
+# across runs): first 2 hex digits give 256 buckets → <230 train (~90%),
+# <243 val (~5%), rest test. Per-row projection: zero shuffle for the
+# assignment itself; the rollup is one partial-aggregated groupBy.
+_SPLIT_CASE = """
+CASE WHEN conv(substring(md5(text), 1, 2), 16, 10) < 230 THEN 'train'
+     WHEN conv(substring(md5(text), 1, 2), 16, 10) < 243 THEN 'val'
+     ELSE 'test' END
+"""
+_SPLIT_CASE_DUCK = """
+CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) * 16
+          + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 17 < 230 THEN 'train'
+     WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) * 16
+          + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 17 < 243 THEN 'val'
+     ELSE 'test' END
+"""
+_SQL_DATASET_SPLIT_SPARK = f"""
+SELECT lang, {_SPLIT_CASE} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY lang, {_SPLIT_CASE}
+"""
+_SQL_DATASET_SPLIT_DUCK = f"""
+SELECT lang, {_SPLIT_CASE_DUCK} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY lang, {_SPLIT_CASE_DUCK}
+"""
+
+
 # Training-data corpus filter: the end-to-end composition a pretraining
 # pipeline runs — language-ID gate + quality thresholds + exact-dedup
 # representative selection, yielding the kept document set.
@@ -1382,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
         "doc_fingerprint": _sql_query(_SQL_FINGERPRINT_SPARK, "documents"),
         "corpus_filter": _sql_query(_SQL_CORPUS_FILTER_SPARK, "documents"),
+        "dataset_split": _sql_query(_SQL_DATASET_SPLIT_SPARK, "documents"),
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -1440,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _SQL_TOKENS_DUCK,
         "doc_fingerprint": _SQL_FINGERPRINT_DUCK,
         "corpus_filter": _SQL_CORPUS_FILTER,
+        "dataset_split": _SQL_DATASET_SPLIT_DUCK,
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "multimodal_resize": _SQL_MM_RESIZE_DUCK,
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
