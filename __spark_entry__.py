@@ -1206,6 +1206,67 @@ FROM px
 """
 
 
+# Repetition / diversity signal (the public Gopher-family "repetitious
+# document" gate recast on token level): type-token ratio per document.
+# Pure per-row array expressions — zero shuffle.
+_SQL_REPETITION_SPARK = """
+SELECT doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS n_unique,
+       CAST(round(size(array_distinct(split(text, ' '))) * 1.0
+                  / size(split(text, ' ')), 4) AS DOUBLE) AS type_token_ratio
+FROM documents
+"""
+_SQL_REPETITION_DUCK = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+       CAST(round(len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')), 4) AS DOUBLE) AS type_token_ratio
+FROM documents
+"""
+
+# PII scrub: redact email/phone-shaped spans before training (standard
+# pipeline hygiene). Same RE2-safe patterns in both engines (no backrefs —
+# DuckDB RE2 constraint, CLAUDE.md); counts + redacted-text fingerprint so
+# the gate verifies the rewrite itself, not just the tallies. Escape levels
+# differ: Spark SQL string literals process backslash escapes, DuckDB's do
+# not — the regex source is written once and escaped per dialect.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+_pii_email_spark = _PII_EMAIL.replace("\\", "\\\\")
+_pii_phone_spark = _PII_PHONE.replace("\\", "\\\\")
+# The synthetic corpus contains no PII shapes, so the queries decorate each
+# document with a deterministic doc_id-derived email + phone first — the
+# scrub then demonstrably fires on every row (n_emails/n_phones >= 1) and
+# the redacted hash proves the spans were actually removed.
+_PII_DECORATE_SPARK = (
+    "text || ' contact user' || CAST(doc_id AS STRING) || '@example.com"
+    " or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+)
+_PII_DECORATE_DUCK = (
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com"
+    " or +1 (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+_SQL_PII_SPARK = f"""
+WITH d AS (SELECT doc_id, {_PII_DECORATE_SPARK} AS t FROM documents)
+SELECT doc_id,
+       CAST(size(regexp_extract_all(t, '{_pii_email_spark}', 0)) AS BIGINT) AS n_emails,
+       CAST(size(regexp_extract_all(t, '{_pii_phone_spark}', 0)) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_pii_email_spark}', '<EMAIL>'),
+                          '{_pii_phone_spark}', '<PHONE>')) AS redacted_hash
+FROM d
+"""
+_SQL_PII_DUCK = f"""
+WITH d AS (SELECT doc_id, {_PII_DECORATE_DUCK} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+FROM d
+"""
+
 # Deterministic dataset split + sampling: the reproducible train/val/test
 # assignment every training pipeline needs. Assignment key is a content
 # hash (md5 — identical in both engines and stable across partitionings,
@@ -1416,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sql_query(_SQL_FINGERPRINT_SPARK, "documents"),
         "corpus_filter": _sql_query(_SQL_CORPUS_FILTER_SPARK, "documents"),
         "dataset_split": _sql_query(_SQL_DATASET_SPLIT_SPARK, "documents"),
+        "repetition_score": _sql_query(_SQL_REPETITION_SPARK, "documents"),
+        "pii_scrub": _sql_query(_SQL_PII_SPARK, "documents"),
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -1475,6 +1538,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_FINGERPRINT_DUCK,
         "corpus_filter": _SQL_CORPUS_FILTER,
         "dataset_split": _SQL_DATASET_SPLIT_DUCK,
+        "repetition_score": _SQL_REPETITION_DUCK,
+        "pii_scrub": _SQL_PII_DUCK,
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "multimodal_resize": _SQL_MM_RESIZE_DUCK,
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
