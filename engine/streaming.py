@@ -151,6 +151,42 @@ def sessionize_stateful(
     return query
 
 
+def dedup_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+):
+    """Streaming ingest dedup: exact content dedup at arrival time.
+
+    ``md5(html)`` keys the duplicates; ``dropDuplicatesWithinWatermark``
+    keeps the FIRST arrival and drops re-arrivals within the watermark
+    horizon — past it the key's state is evicted, so state stays bounded at
+    continuous 100 TB ingest (a plain streaming ``dropDuplicates`` grows
+    state forever). The batch ``dedup_exact`` query is the corpus-wide twin;
+    this is the arrival-time form a crawl ingest actually runs. State
+    persists in the checkpoint across AvailableNow invocations, so a
+    duplicate landing in a later batch (within the horizon) is still
+    dropped."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    deduped = (
+        pages.withColumn("content_hash", F.md5(F.col("html")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def incremental_event_rollup(
     spark: SparkSession,
     events_dir: str,

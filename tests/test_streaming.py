@@ -86,3 +86,45 @@ def test_windowed_event_counts_matches_batch_sql(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
+    """Streaming ingest dedup (dropDuplicatesWithinWatermark on md5(html)):
+    first arrival kept, in-batch and cross-batch duplicates within the
+    watermark horizon dropped, fresh content appended."""
+    import datetime as dt
+
+    from engine.streaming import dedup_stream
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    os.makedirs(pages_dir)
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def row(url, html, secs):
+        return {"url": url, "warc_ts": t0 + dt.timedelta(seconds=secs),
+                "html": html, "text": "", "lang": "en"}
+
+    a, b, c = b"<p>alpha content</p>", b"<p>beta content</p>", b"<p>gamma</p>"
+    # batch 0: a twice (in-batch dup) + b
+    write_parquet([row("u1", a, 0), row("u2", a, 10), row("u3", b, 20)],
+                  f"{pages_dir}/batch0.parquet")
+    dedup_stream(spark, pages_dir, out_dir, cp_dir)
+    got0 = spark.read.parquet(out_dir)
+    assert got0.count() == 2  # one row per distinct payload
+
+    # batch 1: a again (cross-batch dup, within the 1h horizon) + fresh c
+    write_parquet([row("u4", a, 60), row("u5", c, 70)],
+                  f"{pages_dir}/batch1.parquet")
+    dedup_stream(spark, pages_dir, out_dir, cp_dir)
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 3
+    hashes = [r["content_hash"] for r in final.collect()]
+    assert len(set(hashes)) == 3
+    # first arrival won: url u1 (not u2/u4) carries payload `a`
+    urls = {r["content_hash"]: r["url"] for r in final.collect()}
+    import hashlib
+
+    assert urls[hashlib.md5(a).hexdigest()] == "u1"
