@@ -33,8 +33,15 @@ from engine.session import get_spark  # noqa: E402
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True)
+    ap.add_argument("--pages", required=False, default=None)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--lookup",
+        default=None,
+        metavar="URL",
+        help="point lookup: print the extracted row for URL from <out> via "
+        "bucket-pruned read (tableio.read_url) and exit — no extraction run",
+    )
     ap.add_argument(
         "--mode", default="fused", choices=["fused", "staged", "staged_shuffle"]
     )
@@ -57,6 +64,15 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(master=args.master)
+    if args.lookup is not None:
+        row = tableio.read_url(spark, args.out, args.lookup)
+        hits = [r.asDict() for r in row.collect()] if row is not None else []
+        print(json.dumps({"url": args.lookup, "rows": len(hits),
+                          "status": [h.get("status") for h in hits]}))
+        spark.stop()
+        return
+    if args.pages is None:
+        ap.error("--pages is required unless --lookup is given")
     pages = spark.read.parquet(args.pages)
     if args.resume:
         pages = tableio.remaining(pages, args.out)
