@@ -1393,6 +1393,63 @@ JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+# q4-like: correlated EXISTS — orders (by priority) having at least one
+# line item shipped after the order date. Catalyst rewrites the EXISTS into
+# a left-semi join; identical SQL runs in DuckDB.
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+# q6: pure scan-aggregate — every predicate reaches the parquet scan
+# (PushedFilters), zero joins; the canonical pushdown probe at fact scale.
+_SQL_TPCH_Q6 = """
+SELECT CAST(round(sum(l_extendedprice * l_discount), 4) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# q14-like: promo revenue share — broadcastable part dim, conditional agg.
+_SQL_TPCH_Q14 = """
+SELECT CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+           AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-12-01 00:00:00'
+"""
+
+# q18-like: large orders — groupBy-HAVING feeding a semi join back onto the
+# fact (AQE picks broadcast when the qualifying set is small).
+_SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150)
+SELECT o.o_orderkey,
+       CAST(unix_timestamp(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+       CAST(round(o.o_totalprice, 4) AS DOUBLE) AS totalprice,
+       CAST(round(t.qty, 4) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+  ON o.o_orderkey = t.l_orderkey
+"""
+_SQL_TPCH_Q18_DUCK = _SQL_TPCH_Q18.replace(
+    "unix_timestamp(o.o_orderdate)", "floor(epoch(o.o_orderdate))"
+)
+
+
 # part-dimension rollup (brand/type pricing stats)
 _SQL_PART_ROLLUP = """
 SELECT p_brand,
@@ -1492,6 +1549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_like": _sql_query(
             _SQL_TPCH_Q5, "customer", "orders", "lineitem", "supplier", "nation"
         ),
+        "tpch_q4_exists": _sql_query(_SQL_TPCH_Q4, "orders", "lineitem"),
+        "tpch_q6": _sql_query(_SQL_TPCH_Q6, "lineitem"),
+        "tpch_q14_promo": _sql_query(_SQL_TPCH_Q14, "lineitem", "part"),
+        "tpch_q18_big_orders": _sql_query(_SQL_TPCH_Q18, "orders", "lineitem"),
         "part_rollup": _sql_query(_SQL_PART_ROLLUP, "part"),
         "broadcast_rollup": _q_broadcast_rollup,
     }
@@ -1548,6 +1609,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,
         "tpch_q5_like": _SQL_TPCH_Q5,
+        "tpch_q4_exists": _SQL_TPCH_Q4,
+        "tpch_q6": _SQL_TPCH_Q6,
+        "tpch_q14_promo": _SQL_TPCH_Q14,
+        "tpch_q18_big_orders": _SQL_TPCH_Q18_DUCK,
         "part_rollup": _SQL_PART_ROLLUP,
         "broadcast_rollup": _SQL_BROADCAST_ROLLUP_DUCK,
     }
