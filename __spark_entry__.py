@@ -467,6 +467,29 @@ FROM r WHERE rk <= {_KMV_K}
 GROUP BY event_type
 """
 
+# Semi-structured (JSON) column processing: events.props carries a JSON
+# payload; extract a typed field and roll it up. Spark's get_json_object and
+# DuckDB's json_extract_string are the per-row JVM/native paths — no UDF.
+_SQL_JSON_SPARK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE CAST(get_json_object(props, '$.k') AS BIGINT) >= 10
+GROUP BY event_type
+"""
+_SQL_JSON_DUCK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+GROUP BY event_type
+"""
+
+
 # As-of join — the classic custom operator Spark lacks natively. The Spark
 # side is the composition that scales: tag both streams, union, and carry
 # the most recent purchase timestamp forward with a running max over a
@@ -1505,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reassembly": _sql_query(_SQL_REASSEMBLY_SPARK, "documents"),
         "sessionize": _sql_query(_SQL_SESSIONIZE_SPARK, "events"),
         "asof_join": _sql_query(_SQL_ASOF_SPARK, "events"),
+        "json_extract_rollup": _sql_query(_SQL_JSON_SPARK, "events"),
         "resume_anti_join": _sql_query(_SQL_ANTI_SPARK, "documents"),
         "page_failure_rollup": _sql_query(_SQL_FAILURE_ROLLUP, "documents"),
         "size_filter": _sql_query(_SQL_SIZE_FILTER, "documents"),
@@ -1571,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "reassembly": _SQL_REASSEMBLY_DUCK,
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_DUCK,
+        "json_extract_rollup": _SQL_JSON_DUCK,
         "resume_anti_join": _SQL_ANTI_DUCK,
         "page_failure_rollup": _SQL_FAILURE_ROLLUP,
         "size_filter": _SQL_SIZE_FILTER,

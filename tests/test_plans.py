@@ -85,6 +85,27 @@ def test_minhash_pairs_only_shuffle_is_band_join(spark):
     assert "Window" not in plan and "posexplode" not in plan.lower()
 
 
+def test_q6_predicates_reach_the_scan(spark):
+    """The scan-aggregate query's filters must appear in PushedFilters —
+    the pushdown probe at fact-table scale."""
+    import __spark_entry__ as em
+
+    df = em.queries()["tpch_q6"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], plan
+    assert "l_discount" in pushed[0] and "l_quantity" in pushed[0], pushed[0]
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """Correlated EXISTS must compile to a semi join, not a subquery loop."""
+    import __spark_entry__ as em
+
+    df = em.queries()["tpch_q4_exists"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "LeftSemi" in plan, plan
+
+
 def test_resume_anti_join_broadcasts_done_set(spark, pages_unit_path, tmp_path):
     from engine import tableio
 
