@@ -467,6 +467,40 @@ FROM r WHERE rk <= {_KMV_K}
 GROUP BY event_type
 """
 
+# Time-spine gap filling (sparse→dense): build the complete hourly grid per
+# event type and left-join the actual counts, zero-filling silent hours —
+# the standard OLAP densification every monitoring rollup needs. Spark:
+# sequence() + explode; DuckDB: generate_series + unnest. The spine is tiny
+# (hours × types) so its joins broadcast; only the count agg touches the
+# fact at scale.
+_SQL_SPINE_SPARK = """
+WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi FROM events),
+spine AS (SELECT explode(sequence(lo, hi, interval 1 hour)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT h, event_type FROM spine CROSS JOIN types),
+agg AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+SELECT CAST(unix_timestamp(g.h) AS BIGINT) AS hour_epoch,
+       g.event_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+"""
+_SQL_SPINE_DUCK = """
+WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT h, event_type FROM spine CROSS JOIN types),
+agg AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2)
+SELECT CAST(floor(epoch(g.h)) AS BIGINT) AS hour_epoch,
+       g.event_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+"""
+
+
 # Semi-structured (JSON) column processing: events.props carries a JSON
 # payload; extract a typed field and roll it up. Spark's get_json_object and
 # DuckDB's json_extract_string are the per-row JVM/native paths — no UDF.
@@ -1529,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _sql_query(_SQL_SESSIONIZE_SPARK, "events"),
         "asof_join": _sql_query(_SQL_ASOF_SPARK, "events"),
         "json_extract_rollup": _sql_query(_SQL_JSON_SPARK, "events"),
+        "time_spine_fill": _sql_query(_SQL_SPINE_SPARK, "events"),
         "resume_anti_join": _sql_query(_SQL_ANTI_SPARK, "documents"),
         "page_failure_rollup": _sql_query(_SQL_FAILURE_ROLLUP, "documents"),
         "size_filter": _sql_query(_SQL_SIZE_FILTER, "documents"),
@@ -1596,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "asof_join": _SQL_ASOF_DUCK,
         "json_extract_rollup": _SQL_JSON_DUCK,
+        "time_spine_fill": _SQL_SPINE_DUCK,
         "resume_anti_join": _SQL_ANTI_DUCK,
         "page_failure_rollup": _SQL_FAILURE_ROLLUP,
         "size_filter": _SQL_SIZE_FILTER,
