@@ -5,6 +5,7 @@ joins for small sides, zero shuffle in the fused path."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from engine import pipeline
@@ -104,6 +105,46 @@ def test_q4_exists_becomes_semi_join(spark):
     df = em.queries()["tpch_q4_exists"](spark, "/root/testdata/sf0.001")
     plan = _plan(df, "simple")
     assert "LeftSemi" in plan, plan
+
+
+# Documented brute-force baselines (the oracle twins of the banded/bucketed
+# scale paths) — the ONLY places an all-pairs product is allowed. The IVF
+# codebook cross join is also listed: its right side is the ~16-row codebook
+# (broadcast nested loop), not a fact-fact product.
+_CROSS_OK = {
+    "embedding_topk",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    # hour-spine × event-type grid: both sides tiny by construction
+    "time_spine_fill",
+}
+# Construction triggers eager iterative jobs; linted implicitly by its own
+# gate/contract runs instead.
+_PLAN_LINT_SKIP = {"dedup_clusters"}
+
+
+def _lint_names():
+    import __spark_entry__ as em
+
+    return sorted(set(em.queries()) - _PLAN_LINT_SKIP)
+
+
+@pytest.mark.parametrize("name", _lint_names())
+def test_plan_lint_no_cartesian_no_per_row_python(spark, name):
+    """Scale-discipline audit over the ENTIRE query registry: no cartesian
+    product outside the documented brute-force baselines, and no
+    row-at-a-time Python (BatchEvalPython) anywhere — every Python touch
+    must be an Arrow-batched MapInPandas/MapInArrow stage."""
+    import __spark_entry__ as em
+
+    df = em.queries()[name](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "BatchEvalPython" not in plan, f"{name}: per-row Python UDF\n{plan}"
+    if name not in _CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: non-equi join fallback\n{plan}"
+        )
 
 
 def test_resume_anti_join_broadcasts_done_set(spark, pages_unit_path, tmp_path):
