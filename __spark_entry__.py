@@ -1080,11 +1080,26 @@ SELECT doc_id,
 FROM documents
 """
 
+# Fingerprints: md5 of normalized text (exact identity) + a Rabin-Karp
+# style polynomial rolling hash folded over the raw characters (the brief's
+# rolling-hash form; (h*31 + c) mod 1e9+7 in pure BIGINT arithmetic, so
+# both engines produce the identical value). Per-row expressions only.
 _SQL_FINGERPRINT_SPARK = r"""
-SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' '))) AS doc_hash FROM documents
+SELECT doc_id,
+       md5(trim(regexp_replace(text, '\\s+', ' '))) AS doc_hash,
+       aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+                 CAST(0 AS BIGINT), (h, c) -> (h * 31 + c) % 1000000007)
+           AS rolling_hash
+FROM documents
 """
 _SQL_FINGERPRINT_DUCK = r"""
-SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS doc_hash FROM documents
+SELECT doc_id,
+       md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS doc_hash,
+       list_reduce(list_prepend(0::BIGINT,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> ord(substr(text, i, 1))::BIGINT)),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS rolling_hash
+FROM documents
 """
 
 
