@@ -107,6 +107,43 @@ def test_q4_exists_becomes_semi_join(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Spark-native bucketing (the co-located-join strategy for repeated
+    big-big joins at 100 TB): both fact tables written bucketBy(orderkey),
+    the join compiles to SortMergeJoin with ZERO Exchange — neither side
+    shuffles. Broadcast is disabled to force the merge join the big-big
+    case would take."""
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+           .option("path", str(tmp_path / "li_b")).mode("overwrite")
+           .saveAsTable("li_bucketed"))
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+           .option("path", str(tmp_path / "ord_b")).mode("overwrite")
+           .saveAsTable("ord_bucketed"))
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderpriority").count()
+        plan = _plan(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[-1], plan
+        # neither join input shuffles: the only Exchange allowed is the
+        # final single-stage aggregate on the tiny grouped result
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_part, plan
+        # and it actually runs
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
 # Documented brute-force baselines (the oracle twins of the banded/bucketed
 # scale paths) — the ONLY places an all-pairs product is allowed. The IVF
 # codebook cross join is also listed: its right side is the ~16-row codebook
