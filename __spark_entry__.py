@@ -467,6 +467,30 @@ FROM r WHERE rk <= {_KMV_K}
 GROUP BY event_type
 """
 
+# Skew-salted two-phase aggregation: the hot-key defense at 100 TB — a
+# deterministic salt widens the shuffle key so one giant group spreads over
+# 16 partial groups (map-side combined), then a cheap second aggregate over
+# at most |keys|×16 rows folds the partials. Result is identical to the
+# direct GROUP BY (the oracle); integer counts fold exactly, double sums
+# fold before the single final rounding.
+_SQL_SALTED_AGG_SPARK = """
+WITH partials AS (
+  SELECT event_type, pmod(event_id, 16) AS salt,
+         count(*) AS c, sum(value) AS s
+  FROM events GROUP BY event_type, pmod(event_id, 16))
+SELECT event_type,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(round(sum(s), 4) AS DOUBLE) AS total_value
+FROM partials GROUP BY event_type
+"""
+_SQL_SALTED_AGG_DUCK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
 # Time-spine gap filling (sparse→dense): build the complete hourly grid per
 # event type and left-join the actual counts, zero-filling silent hours —
 # the standard OLAP densification every monitoring rollup needs. Spark:
@@ -1579,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _sql_query(_SQL_ASOF_SPARK, "events"),
         "json_extract_rollup": _sql_query(_SQL_JSON_SPARK, "events"),
         "time_spine_fill": _sql_query(_SQL_SPINE_SPARK, "events"),
+        "skew_salted_agg": _sql_query(_SQL_SALTED_AGG_SPARK, "events"),
         "resume_anti_join": _sql_query(_SQL_ANTI_SPARK, "documents"),
         "page_failure_rollup": _sql_query(_SQL_FAILURE_ROLLUP, "documents"),
         "size_filter": _sql_query(_SQL_SIZE_FILTER, "documents"),
@@ -1647,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _SQL_ASOF_DUCK,
         "json_extract_rollup": _SQL_JSON_DUCK,
         "time_spine_fill": _SQL_SPINE_DUCK,
+        "skew_salted_agg": _SQL_SALTED_AGG_DUCK,
         "resume_anti_join": _SQL_ANTI_DUCK,
         "page_failure_rollup": _SQL_FAILURE_ROLLUP,
         "size_filter": _SQL_SIZE_FILTER,
