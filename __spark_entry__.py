@@ -642,17 +642,44 @@ sh AS (
 shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
 """
 
-# Shuffle-free shingling (Spark production path): shingles stay an ARRAY
-# inside each row — split → transform(sequence(...)) builds the token 3-grams
-# and array_min(transform(...)) takes each hash-family minimum, all per-row
-# JVM expressions. No posexplode, no window, ZERO Exchange before (or after —
-# there is no aggregate) the signature computation; the plan is scan→project.
-# At 100 TB this is the difference between shuffling every token in the
-# corpus and shuffling nothing. The windowed form above (`_SHINGLES_SPARK`)
-# is retained only as the DuckDB oracle's structural twin and for the Jaccard
-# query, whose set-intersection join genuinely needs shingle rows.
+# MinHash signatures, canonical construction: ONE md5 per shingle (its
+# first 8 hex → a 32-bit integer) and 8 cheap universal multiply-mod
+# hashes (h·Aᵢ + Bᵢ mod P, P prime > 2³²) per family — 8× less crypto-hash
+# CPU per document than an md5-per-family scheme, at every scale. Constants
+# are md5-derived so both engines share them; all arithmetic stays below
+# 2⁶² (h < 2³², Aᵢ < 2²⁹) so Spark's wrapping long and DuckDB's checked
+# BIGINT agree exactly.
+#
+# Spark production path is shuffle-free: shingles stay an ARRAY inside each
+# row (split → transform(sequence(...))), the per-shingle hash and each
+# family minimum are per-row JVM expressions — no posexplode, no window,
+# ZERO Exchange; the plan is scan→project. At 100 TB this is the difference
+# between shuffling every token in the corpus and shuffling nothing. The
+# windowed form above (`_SHINGLES_SPARK`) is retained only as the DuckDB
+# oracle's structural twin and for the Jaccard query, whose set-intersection
+# join genuinely needs shingle rows.
+import hashlib as _hashlib  # noqa: E402
+
+_MH_P = 4294967311  # smallest prime > 2^32
+_MH_A = [
+    (int(_hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:8], 16) % (2**29 - 1)) | 1
+    for i in range(8)
+]
+_MH_B = [
+    int(_hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:8], 16) for i in range(8)
+]
+
+
+def _hex8_duck(expr: str) -> str:
+    """DuckDB: first-8-hex-digits → BIGINT (no conv(); positional strpos)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {p}, 1)) - 1) * {16 ** (8 - p)}"
+        for p in range(1, 9)
+    )
+
+
 _MINHASH_FAST_SIG_COLS = ",\n       ".join(
-    f"array_min(transform(shingles, sh -> md5('{i}:' || sh))) AS sig{i}"
+    f"array_min(transform(hs, h -> (h * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P})) AS sig{i}"
     for i in range(8)
 )
 _MINHASH_FAST_CTES = """
@@ -660,51 +687,60 @@ WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
 s AS (
   SELECT doc_id,
          transform(sequence(0, size(toks) - 3),
-                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+                   i -> CAST(conv(substring(md5(
+                          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                        ), 1, 8), 16, 10) AS BIGINT)) AS hs
   FROM t WHERE size(toks) >= 3)
 """
 _MINHASH_FAST_SPARK = (
     _MINHASH_FAST_CTES + f"SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s"
 )
+
+
+def _mh_bands(cast: str) -> str:
+    """Banded keys (4 bands × 2 rows); `cast` renders a sig as a string."""
+    rows = []
+    for band in range(4):
+        a, b = cast % f"sig{2 * band}", cast % f"sig{2 * band + 1}"
+        lead = "0 AS band" if band == 0 else str(band)
+        key = f"{a} || ':' || {b}" + (" AS key" if band == 0 else "")
+        rows.append(f"  SELECT doc_id, {lead}, {key} FROM sig")
+    return ("\n  UNION ALL\n".join(rows))
+
+
+_MINHASH_PAIRS_TAIL = """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
 # LSH pairs over the shuffle-free signatures: the only Exchange left in the
 # pairs plan is the banded equi-join itself — the legitimate (band, key)
 # candidate co-location shuffle.
-_MINHASH_FAST_PAIRS = _MINHASH_FAST_CTES + f"""
-, sig AS (SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s)
-, bands AS (
-  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig UNION ALL
-  SELECT doc_id, 1, sig2 || sig3 FROM sig UNION ALL
-  SELECT doc_id, 2, sig4 || sig5 FROM sig UNION ALL
-  SELECT doc_id, 3, sig6 || sig7 FROM sig)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-WHERE a.doc_id < b.doc_id
-"""
+_MINHASH_FAST_PAIRS = (
+    _MINHASH_FAST_CTES
+    + f", sig AS (SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s)\n"
+    + ", bands AS (\n" + _mh_bands("CAST(%s AS STRING)") + ")\n"
+    + _MINHASH_PAIRS_TAIL
+)
 
-# MinHash signatures: 8 md5-family hashes, lexicographic min (SURVEY training
-# ops; signature equality is the LSH band key)
-_MINHASH_BODY = """
-SELECT doc_id,
-       min(md5('0:' || shingle)) AS sig0, min(md5('1:' || shingle)) AS sig1,
-       min(md5('2:' || shingle)) AS sig2, min(md5('3:' || shingle)) AS sig3,
-       min(md5('4:' || shingle)) AS sig4, min(md5('5:' || shingle)) AS sig5,
-       min(md5('6:' || shingle)) AS sig6, min(md5('7:' || shingle)) AS sig7
-FROM shingles GROUP BY doc_id
-"""
-
-# MinHash-LSH candidate pairs: 4 bands x 2 rows; a pair is a candidate if any
-# band signature matches.
-_MINHASH_PAIRS_BODY = """
-, sig AS (%s)
-, bands AS (
-  SELECT doc_id, 0 AS band, sig0 || sig1 AS key FROM sig UNION ALL
-  SELECT doc_id, 1, sig2 || sig3 FROM sig UNION ALL
-  SELECT doc_id, 2, sig4 || sig5 FROM sig UNION ALL
-  SELECT doc_id, 3, sig6 || sig7 FROM sig)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-WHERE a.doc_id < b.doc_id
-""" % _MINHASH_BODY
+# DuckDB oracle twin: same universal-hash families over the windowed
+# shingle relation — per-shingle 32-bit hash via positional hex decode,
+# then min((h·Aᵢ + Bᵢ) mod P) per family.
+_MINHASH_DUCK_SIG_COLS = ",\n       ".join(
+    f"min((h * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P}) AS sig{i}" for i in range(8)
+)
+_MINHASH_DUCK_CTES = (
+    _SHINGLES_DUCK
+    + f", hs AS (SELECT doc_id, {_hex8_duck('md5(shingle)')} AS h FROM shingles)\n"
+    + f", sig AS (SELECT doc_id, {_MINHASH_DUCK_SIG_COLS} FROM hs GROUP BY doc_id)\n"
+)
+_MINHASH_SIG_DUCK = _MINHASH_DUCK_CTES + "SELECT * FROM sig"
+_MINHASH_PAIRS_DUCK = (
+    _MINHASH_DUCK_CTES
+    + ", bands AS (\n" + _mh_bands("%s::VARCHAR") + ")\n"
+    + _MINHASH_PAIRS_TAIL
+)
 
 # Corpus-level dedup resolution: connected components over the LSH candidate
 # pairs → one canonical representative (min doc_id) per near-duplicate
@@ -754,10 +790,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle: transitive closure by recursive CTE, cluster = min reachable id.
 # Reuses the windowed shingle CTEs + the pairs body (wrapped as a CTE) so the
 # candidate graph is definitionally the same one `minhash_lsh_pairs` checks.
-_pairs_ctes, _pairs_select = _MINHASH_PAIRS_BODY.split("SELECT DISTINCT", 1)
+_pairs_ctes, _pairs_select = _MINHASH_PAIRS_DUCK.split("SELECT DISTINCT", 1)
 _DEDUP_CLUSTERS_DUCK = (
-    _SHINGLES_DUCK.replace("WITH", "WITH RECURSIVE", 1)
-    + _pairs_ctes
+    _pairs_ctes.replace("WITH", "WITH RECURSIVE", 1)
     + ", pairs AS (SELECT DISTINCT"
     + _pairs_select
     + """)
@@ -1686,8 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SQL_SET_OPS,
         "cube_rollup": _SQL_CUBE,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "minhash_signatures": _SHINGLES_DUCK + _MINHASH_BODY,
-        "minhash_lsh_pairs": _SHINGLES_DUCK + _MINHASH_PAIRS_BODY,
+        "minhash_signatures": _MINHASH_SIG_DUCK,
+        "minhash_lsh_pairs": _MINHASH_PAIRS_DUCK,
         "dedup_clusters": _DEDUP_CLUSTERS_DUCK,
         "ngram_jaccard_pairs": _SHINGLES_DUCK + _JACCARD_BODY,
         "simhash_fingerprint": _SIMHASH_DUCK,
