@@ -824,21 +824,20 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
 """
 
 # SimHash-style fingerprint: 16 hex-digit dimensions of md5(token), majority bit
+# Spark production path is shuffle-free (same reasoning as MinHash): token
+# hashes stay an ARRAY in the row — md5 once per token via transform, then
+# each of the 16 dimension majorities is an in-row integer fold. No explode,
+# no groupBy: at corpus scale nothing moves to compute a fingerprint. The
+# exploded+grouped form remains as the DuckDB oracle below.
 _SIMHASH_SPARK = """
-WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
-h AS (SELECT doc_id, md5(tok) AS m FROM tok),
-dims AS (
-  SELECT doc_id, count(*) AS n, %s
-  FROM h GROUP BY doc_id)
-SELECT doc_id, %s AS fingerprint FROM dims
-""" % (
-    ", ".join(
-        f"sum(cast(conv(substring(m, {p}, 1), 16, 10) as bigint)) AS d{p}"
-        for p in range(1, 17)
-    ),
-    " || ".join(
-        f"CASE WHEN 2 * d{p} >= 15 * n THEN '1' ELSE '0' END" for p in range(1, 17)
-    ),
+WITH t AS (SELECT doc_id, transform(split(text, ' '), tok -> md5(tok)) AS ms
+           FROM documents)
+SELECT doc_id, %s AS fingerprint FROM t
+""" % " || ".join(
+    f"CASE WHEN 2 * aggregate(ms, CAST(0 AS BIGINT), "
+    f"(s, m) -> s + CAST(conv(substring(m, {p}, 1), 16, 10) AS BIGINT)) "
+    f">= 15 * size(ms) THEN '1' ELSE '0' END"
+    for p in range(1, 17)
 )
 _SIMHASH_DUCK = """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -76,6 +76,16 @@ def test_minhash_signatures_plan_has_zero_exchange(spark):
     assert "posexplode" not in plan.lower() and "Window" not in plan
 
 
+def test_simhash_plan_has_zero_exchange(spark):
+    """SimHash fingerprints are in-row folds over the token-hash array —
+    no explode, no groupBy, zero Exchange (same discipline as MinHash)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["simhash_fingerprint"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan and "Generate" not in plan
+
+
 def test_minhash_pairs_only_shuffle_is_band_join(spark):
     """The pairs plan may shuffle only on the banded equi-join (and its
     DISTINCT) — never on tokens or doc_id windows."""
