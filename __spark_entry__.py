@@ -809,6 +809,25 @@ FROM reach GROUP BY u
 )
 
 
+# Near-dedup resolution applied: the kept document set after collapsing
+# every LSH near-duplicate cluster to its canonical representative
+# (min doc_id) — the step that actually shrinks a training corpus.
+def _q_neardedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _q_dedup_clusters(spark, sf_dir)
+    return (
+        labels.filter("doc_id = cluster_id")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    )
+
+
+def _neardedup_keep_duck() -> str:
+    return (
+        "SELECT doc_id FROM ("
+        + _DEDUP_CLUSTERS_DUCK
+        + ") c WHERE doc_id = cluster_id"
+    )
+
+
 # n-gram Jaccard near-dup pairs over a bounded candidate set
 _JACCARD_BODY = """
 , ds AS (SELECT DISTINCT doc_id, shingle FROM shingles WHERE doc_id < 150)
@@ -1655,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _sql_query(_MINHASH_FAST_SPARK, "documents"),
         "minhash_lsh_pairs": _sql_query(_MINHASH_FAST_PAIRS, "documents"),
         "dedup_clusters": _q_dedup_clusters,
+        "neardedup_keep": _q_neardedup_keep,
         "ngram_jaccard_pairs": _sql_query(_SHINGLES_SPARK + _JACCARD_BODY, "documents"),
         "simhash_fingerprint": _sql_query(_SIMHASH_SPARK, "documents"),
         "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
@@ -1723,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SIG_DUCK,
         "minhash_lsh_pairs": _MINHASH_PAIRS_DUCK,
         "dedup_clusters": _DEDUP_CLUSTERS_DUCK,
+        "neardedup_keep": _neardedup_keep_duck(),
         "ngram_jaccard_pairs": _SHINGLES_DUCK + _JACCARD_BODY,
         "simhash_fingerprint": _SIMHASH_DUCK,
         "embedding_topk": _TOPK_DUCK,

@@ -187,6 +187,63 @@ def dedup_stream(
     return query
 
 
+def attribution_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    events_schema: T.StructType,
+    horizon: str = "30 minutes",
+):
+    """Stream-stream time-range join: each click joined to purchases by the
+    same user within `horizon` AFTER the click (conversion attribution).
+
+    The watermarks bound BOTH join states: a click can stop waiting for
+    purchases once event time passes click.ts + horizon, and vice versa —
+    so state stays finite under continuous ingest (an un-watermarked
+    stream-stream join buffers forever). Batch semantics are identical to
+    the same join on static frames (test asserts equality)."""
+    ev = spark.readStream.schema(events_schema).parquet(events_dir)
+    return _attribution_join(ev, ev, horizon, streaming=True).writeStream.format(
+        "parquet"
+    ).option("path", out_dir).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append").trigger(availableNow=True).start()
+
+
+def _attribution_join(
+    clicks_src: DataFrame, purchases_src: DataFrame, horizon: str, streaming: bool
+) -> DataFrame:
+    # watermarks require TIMESTAMP (tz-aware); the source parquet carries
+    # naive timestamps — session tz is pinned UTC so the cast is exact
+    clicks = clicks_src.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    purchases = purchases_src.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    if streaming:
+        clicks = clicks.withWatermark("c_ts", horizon)
+        purchases = purchases.withWatermark("p_ts", horizon)
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {horizon}"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("c_ts").cast("bigint").alias("click_epoch"),
+        F.unix_timestamp("p_ts").cast("bigint").alias("purchase_epoch"),
+    )
+
+
 def incremental_event_rollup(
     spark: SparkSession,
     events_dir: str,

@@ -167,7 +167,7 @@ _CROSS_OK = {
 }
 # Construction triggers eager iterative jobs; linted implicitly by its own
 # gate/contract runs instead.
-_PLAN_LINT_SKIP = {"dedup_clusters"}
+_PLAN_LINT_SKIP = {"dedup_clusters", "neardedup_keep"}
 
 
 def _lint_names():

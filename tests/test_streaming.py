@@ -128,3 +128,33 @@ def test_dedup_stream_drops_duplicates_across_batches(spark, tmp_path):
     import hashlib
 
     assert urls[hashlib.md5(a).hexdigest()] == "u1"
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream time-range join (watermark-bounded state on both
+    sides): streaming output equals the identical join on static frames."""
+    import shutil
+
+    from engine.streaming import _attribution_join, attribution_stream
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    os.makedirs(events_dir)
+
+    # the file-stream source lists FILES (no recursion): copy the single-file
+    # events parquet in flat
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{events_dir}/b0.parquet")
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = attribution_stream(
+        spark, events_dir, out_dir, cp_dir, src.schema, horizon="4 hours"
+    )
+    q.awaitTermination()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in _attribution_join(src, src, "4 hours", streaming=False).collect()
+    )
+    assert got == want
+    assert len(got) >= 10  # the horizon actually captures conversions
