@@ -50,3 +50,21 @@ def test_salt_is_deterministic_and_isolates_giants(spark, pages_small_path):
         assert giants.filter(F.col("salt") < 8).count() == 0  # giant domain only
     reparted = salted_repartition(pages, 8)
     assert reparted.rdd.getNumPartitions() == 8 + 8  # normal + giant domains
+
+
+def test_dedup_clusters_invariant_to_shuffle_partitions(spark):
+    """The iterative min-label propagation must converge to the same
+    clustering regardless of shuffle parallelism (no order-dependent state
+    leaks through the join/groupBy rounds)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(tuple(r) for r in em.queries()["dedup_clusters"](spark, sf).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(tuple(r) for r in em.queries()["dedup_clusters"](spark, sf).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b and len(a) == 500
