@@ -8,7 +8,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from fixtures.gen_pages import compute_goldens, gen_rows, write_parquet  # noqa: E402
+from fixtures.gen_pages import gen_rows, write_parquet  # noqa: E402
 
 
 @pytest.fixture(scope="session")
