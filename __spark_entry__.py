@@ -731,14 +731,36 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id
 """
 
-# LSH pairs over the shuffle-free signatures: the only Exchange left in the
-# pairs plan is the banded equi-join itself — the legitimate (band, key)
-# candidate co-location shuffle.
+# Spark side: the banded self-join must be a SHUFFLE join, never broadcast.
+# Both sides are the SAME subtree, so shuffle join canonicalizes both
+# Exchanges identically and ReuseExchange runs the scan+sign+explode ONCE;
+# a broadcast (which tiny-SF stats would pick) instead executes the subtree
+# twice AND ships a table as large as the probe side — strictly worse for a
+# self-join at every scale. MERGE hint pins the scale-correct shape.
+_MINHASH_PAIRS_TAIL_SPARK = _MINHASH_PAIRS_TAIL.replace(
+    "SELECT DISTINCT", "SELECT /*+ MERGE(a) */ DISTINCT", 1
+)
+
+# LSH pairs over the shuffle-free signatures, SINGLE-SCAN banding
+# (VERDICT r2 #1): the signature array is computed in ONE projection and the
+# 4 (band, key) rows come from exploding a tiny in-row array of structs —
+# not from a 4-arm UNION that re-inlines (and re-scans + re-hashes) the
+# corpus per band. Band rows carry keys only, no text. The self-join's two
+# shuffles canonicalize identically, so Catalyst's ReuseExchange executes the
+# scan→sign→explode subtree ONCE (plan-pinned: exactly one FileScan of
+# documents.parquet, tests/test_plans.py). The only Exchanges left are the
+# banded equi-join co-location shuffle and the final DISTINCT.
+_MH_BAND_STRUCTS = ", ".join(
+    f"named_struct('band', {b}, 'key', "
+    f"CAST(sig{2 * b} AS STRING) || ':' || CAST(sig{2 * b + 1} AS STRING))"
+    for b in range(4)
+)
 _MINHASH_FAST_PAIRS = (
     _MINHASH_FAST_CTES
     + f", sig AS (SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s)\n"
-    + ", bands AS (\n" + _mh_bands("CAST(%s AS STRING)") + ")\n"
-    + _MINHASH_PAIRS_TAIL
+    + f", bands AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM sig\n"
+    + f"            LATERAL VIEW explode(array({_MH_BAND_STRUCTS})) t AS bk)\n"
+    + _MINHASH_PAIRS_TAIL_SPARK
 )
 
 # DuckDB oracle twin: same universal-hash families over the windowed
@@ -761,29 +783,42 @@ _MINHASH_PAIRS_DUCK = (
 
 # Corpus-level dedup resolution: connected components over the LSH candidate
 # pairs → one canonical representative (min doc_id) per near-duplicate
-# cluster. Spark side: iterative min-label propagation via self-joins — the
-# standard large-scale CC formulation (cf. "large-star/small-star"; converges
-# in O(component diameter) rounds, each round one equi-join shuffle on doc_id,
-# which near-dup graphs keep tiny). Singletons keep cluster_id = doc_id.
-def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _load(spark, sf_dir, "documents")
-    pairs = spark.sql(_MINHASH_FAST_PAIRS)
-    # undirected: propagate labels both ways
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
-    ).persist()
-    labels = (
-        spark.table("documents")
-        .select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
-        .persist()
-    )
-    for _ in range(50):  # bound >> any real component diameter
+# cluster. Singletons keep cluster_id = doc_id.
+_CC_LAST_ROUNDS = 0  # introspection for the round-count regression test
+
+
+def _cc_min_label(nodes: DataFrame, edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label connected components with POINTER JUMPING (VERDICT r2 #6).
+
+    Each round a node takes min(own label, neighbors' labels, label-of-its-
+    label). The third term is the pointer-jumping/"hash-to-min" step (cf.
+    large-star/small-star contraction): label chains halve every round, so
+    convergence is O(log diameter) rounds instead of the O(diameter) of
+    plain propagation — a diameter-8 chain resolves in 3 rounds, not 8.
+    Each round = two equi-join shuffles + one groupBy; rounds are the scarce
+    resource at 100 TB (each is a full job), so trading one extra join per
+    round for exponentially fewer rounds wins on any non-trivial chain.
+
+    `nodes` = (doc_id), `edges` = directed (src, dst) — pass both directions
+    for an undirected graph. Returns (doc_id, lbl) with lineage truncated
+    (localCheckpoint) and NO persisted frames left behind (ADVICE r2 #3)."""
+    global _CC_LAST_ROUNDS
+    labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("lbl")).persist()
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
         nbr = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), F.col("lbl")
+        )
+        hop = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.lbl").alias("lbl"))
         )
         new_labels = (
             labels.select("doc_id", "lbl")
             .union(nbr)
+            .union(hop)
             .groupBy("doc_id")
             .agg(F.min("lbl").alias("lbl"))
             .persist()
@@ -797,6 +832,34 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    _CC_LAST_ROUNDS = rounds
+    # Truncate the iterative lineage and release the cache: the returned
+    # frame reads the (small — one row per doc) reliable checkpoint, not the
+    # persisted iterate (which r2 leaked on every invocation — gate +
+    # shuffle-invariance runs stacked it). Reliable checkpoint, not
+    # localCheckpoint: local checkpoints ARE persisted RDDs (the leak would
+    # just change shape), and on a real cluster they die with an executor —
+    # the standard iterative-algorithm pattern (GraphX) is periodic reliable
+    # checkpoints.
+    sc = labels.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
+    out = labels.checkpoint(eager=True)
+    labels.unpersist()
+    return out
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(_MINHASH_FAST_PAIRS)
+    # undirected: propagate labels both ways
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    ).persist()
+    nodes = spark.table("documents").select("doc_id")
+    labels = _cc_min_label(nodes, edges)
     edges.unpersist()
     return labels.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -1027,16 +1090,35 @@ def _ann_lsh_sql(dialect: str) -> str:
             "list_dot_product(a.v, c.v)"
             " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))"
         )
-    bands_union = "\nUNION ALL\n".join(
-        f"SELECT vec_id, v, {b} AS band, {key_fn(b)} AS key FROM e"
-        for b in range(_ANN_BANDS)
-    )
+    if dialect == "spark":
+        # Single-scan banding (VERDICT r2 #1, same shape as MinHash pairs):
+        # band keys are computed once per vector and the 8 (band, key) rows
+        # come from exploding an in-row struct array — not an 8-arm UNION
+        # that re-scans embeddings per band and per join side. The vector
+        # rides along so the self-join needs no scan-back; MERGE hint keeps
+        # the join a shuffle join so ReuseExchange runs the scan→sign→explode
+        # subtree ONCE (final plan: exactly one FileScan of embeddings).
+        band_structs = ", ".join(
+            f"named_struct('band', {b}, 'key', {key_fn(b)})"
+            for b in range(_ANN_BANDS)
+        )
+        bands_cte = (
+            "SELECT vec_id, v, bk.band AS band, bk.key AS key FROM e "
+            f"LATERAL VIEW explode(array({band_structs})) t AS bk"
+        )
+        hint = "/*+ MERGE(a) */ "
+    else:
+        bands_cte = "\nUNION ALL\n".join(
+            f"SELECT vec_id, v, {b} AS band, {key_fn(b)} AS key FROM e"
+            for b in range(_ANN_BANDS)
+        )
+        hint = ""
     # `+ 0` normalizes IEEE negative zero (-0.0 + 0 = +0.0): Spark and DuckDB
     # round tiny negative cosines to differently-signed zeros otherwise.
     return f"""
 WITH e AS ({e_cte}),
-bands AS ({bands_union})
-SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+bands AS ({bands_cte})
+SELECT {hint}DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
        CAST(round({cosine}, 4) + 0 AS DOUBLE) AS sim_r
 FROM bands a JOIN bands c
   ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id

@@ -68,3 +68,34 @@ def test_dedup_clusters_invariant_to_shuffle_partitions(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b and len(a) == 500
+
+
+def test_cc_pointer_jumping_resolves_chain_in_log_rounds(spark):
+    """VERDICT r2 #6: a planted diameter-8 chain (0-1-2-...-8) must resolve
+    in O(log diameter) rounds, not O(diameter) — pointer jumping halves
+    label-chain length every round. Plain propagation needs 8+1 rounds;
+    with jumping, <= 5 (3 to converge + detection slack)."""
+    import __spark_entry__ as em
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id: long")
+    chain = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src: long, dst: long"
+    )
+    labels = em._cc_min_label(nodes, edges)
+    got = {r["doc_id"]: r["lbl"] for r in labels.collect()}
+    assert got == {**{i: 0 for i in range(9)}, 9: 9, 10: 10, 11: 11}
+    assert em._CC_LAST_ROUNDS <= 5, em._CC_LAST_ROUNDS
+
+
+def test_cc_leaves_no_persisted_frames(spark):
+    """ADVICE r2 #3: dedup_clusters must not leak cached partitions — the
+    returned frame is checkpoint-backed, every iterate unpersisted."""
+    import __spark_entry__ as em
+
+    spark.catalog.clearCache()
+    df = em.queries()["dedup_clusters"](spark, "/root/testdata/sf0.001")
+    assert df.count() == 500
+    jsc = spark.sparkContext._jsc.sc()
+    cached = jsc.getPersistentRDDs()
+    assert cached.isEmpty(), f"{cached.size()} persisted RDDs leaked"

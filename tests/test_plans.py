@@ -96,6 +96,42 @@ def test_minhash_pairs_only_shuffle_is_band_join(spark):
     assert "Window" not in plan and "posexplode" not in plan.lower()
 
 
+def _final_adaptive_plan(df) -> str:
+    """Materialize df and return the FINAL adaptive physical plan (the plan
+    that actually executed, post exchange-reuse)."""
+    df.collect()
+    plan = _plan(df, "simple")
+    assert "isFinalPlan=true" in plan, plan
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_minhash_pairs_single_scan(spark):
+    """VERDICT r2 #1: banding must NOT re-scan the corpus per band/arm.
+    Signatures are computed in ONE projection and (band, key) rows come from
+    an in-row explode; the banded self-join is a shuffle join whose two
+    exchanges canonicalize identically, so the executed plan reads
+    documents.parquet exactly ONCE (second side = ReusedExchange).
+    Was 8 FileScans in r2 (PLANS.md r2:150-199)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["minhash_lsh_pairs"](spark, "/root/testdata/sf0.001")
+    final = _final_adaptive_plan(df)
+    assert final.count("FileScan") == 1, final
+    assert "ReusedExchange" in final, final
+
+
+def test_ann_lsh_pairs_single_scan(spark):
+    """Same single-scan discipline for the embedding LSH candidates: ONE
+    FileScan of embeddings.parquet in the executed plan (was up to 16 —
+    8 band arms × 2 join sides — in r2)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["ann_lsh_candidates"](spark, "/root/testdata/sf0.001")
+    final = _final_adaptive_plan(df)
+    assert final.count("FileScan") == 1, final
+    assert "ReusedExchange" in final, final
+
+
 def test_q6_predicates_reach_the_scan(spark):
     """The scan-aggregate query's filters must appear in PushedFilters —
     the pushdown probe at fact-table scale."""
