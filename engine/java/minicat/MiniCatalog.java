@@ -1,0 +1,117 @@
+package minicat;
+
+import java.util.Collections;
+import java.util.Map;
+
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException;
+import org.apache.spark.sql.connector.catalog.Identifier;
+import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCatalog;
+import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+/**
+ * Minimal DSv2 catalog whose tables support row-level operations, so that
+ * {@code MERGE INTO} executes end-to-end (analyzer → RewriteMergeIntoTable →
+ * ReplaceData → commit) without an Iceberg runtime jar (VERDICT r2 #2).
+ *
+ * Register with {@code spark.sql.catalog.mini=minicat.MiniCatalog} and the
+ * jar on the driver classpath ({@code spark.jars=dist/minicat.jar}).
+ * Flat namespace model: every namespace exists; tables live in MiniStore.
+ */
+public class MiniCatalog implements TableCatalog, SupportsNamespaces {
+  private String catalogName;
+
+  @Override
+  public void initialize(String name, CaseInsensitiveStringMap options) {
+    this.catalogName = name;
+  }
+
+  @Override
+  public String name() {
+    return catalogName;
+  }
+
+  private String key(Identifier ident) {
+    return catalogName + "." + String.join(".", ident.namespace()) + "." + ident.name();
+  }
+
+  @Override
+  public Identifier[] listTables(String[] namespace) {
+    return new Identifier[0];
+  }
+
+  @Override
+  public Table loadTable(Identifier ident) throws NoSuchTableException {
+    MiniStore.Entry e = MiniStore.get(key(ident));
+    if (e == null) {
+      throw new NoSuchTableException(ident);
+    }
+    return new MiniTable(key(ident), ident.name(), e.schema);
+  }
+
+  @Override
+  public Table createTable(
+      Identifier ident, StructType schema, Transform[] partitions, Map<String, String> properties)
+      throws TableAlreadyExistsException {
+    if (MiniStore.create(key(ident), schema) == null) {
+      throw new TableAlreadyExistsException(ident);
+    }
+    return new MiniTable(key(ident), ident.name(), schema);
+  }
+
+  @Override
+  public Table alterTable(Identifier ident, TableChange... changes) {
+    throw new UnsupportedOperationException("MiniCatalog: alterTable");
+  }
+
+  @Override
+  public boolean dropTable(Identifier ident) {
+    return MiniStore.drop(key(ident));
+  }
+
+  @Override
+  public void renameTable(Identifier from, Identifier to) {
+    throw new UnsupportedOperationException("MiniCatalog: renameTable");
+  }
+
+  // --- SupportsNamespaces: every namespace exists (flat test catalog) ---
+
+  @Override
+  public String[][] listNamespaces() {
+    return new String[][] {new String[] {"ns"}};
+  }
+
+  @Override
+  public String[][] listNamespaces(String[] namespace) {
+    return new String[0][];
+  }
+
+  @Override
+  public boolean namespaceExists(String[] namespace) {
+    return true;
+  }
+
+  @Override
+  public Map<String, String> loadNamespaceMetadata(String[] namespace) {
+    return Collections.emptyMap();
+  }
+
+  @Override
+  public void createNamespace(String[] namespace, Map<String, String> metadata) {}
+
+  @Override
+  public void alterNamespace(String[] namespace, NamespaceChange... changes) {
+    throw new UnsupportedOperationException("MiniCatalog: alterNamespace");
+  }
+
+  @Override
+  public boolean dropNamespace(String[] namespace, boolean cascade) {
+    return false;
+  }
+}
