@@ -1426,6 +1426,56 @@ FROM px
 """
 
 
+def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG gate twin of image_decode (VERDICT r2 #3): payloads are REAL
+    zlib-compressed, per-scanline-filtered PNGs built in an Arrow stage —
+    the filter type cycles (doc_id + row) % 5 so all five spec filters
+    (None/Sub/Up/Average/Paeth) are exercised through the gate — then
+    decoded for real by engine.multimodal.decode_png (stdlib zlib +
+    unfiltering, no media library). The DuckDB oracle recomputes dims +
+    pixel sha from the PRE-compression construction, so the whole
+    filter→deflate→inflate→unfilter round trip is what's being checked.
+    Every 17th payload is truncated mid-chunk → deterministic
+    'error:truncated chunk' rows (corrupt→error-row convention)."""
+    from engine.multimodal import decode_images, encode_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                w, h = 4 + did % 8, 3 + did % 5
+                pix = ((text or "") * 8)[: w * h * 3].encode("utf-8")
+                png = encode_png(
+                    w, h, 3, pix, filter_of_row=lambda r, d=did: (d + r) % 5
+                )
+                ids.append(did)
+                payloads.append(png[:16] if did % 17 == 0 else png)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return decode_images(payloads)
+
+
+_SQL_IMG_DECODE_PNG_DUCK = f"""
+WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text FROM documents),
+px AS (SELECT doc_id, w, h,
+              substr(repeat(text, 8), 1, (w * h * 3)::INT) AS pix FROM p)
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN 'error:truncated chunk' ELSE 'ok' END AS status,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE w END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE h END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 3 END AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE length(pix) END AS BIGINT) AS n_pixel_bytes,
+       CASE WHEN doc_id % 17 = 0 THEN '' ELSE sha256(pix) END AS pixel_sha
+FROM px
+"""
+
+
 def _q_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.multimodal import resize_decoded
 
@@ -1793,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "image_decode": _q_image_decode,
+        "image_decode_png": _q_image_decode_png,
         "image_resize_nn": _q_image_resize_nn,
         # relational demonstrations
         "tpch_q1": _sql_query(_SQL_TPCH_Q1, "lineitem"),
@@ -1863,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _SQL_MM_RESIZE_DUCK,
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
         "image_decode": _SQL_IMG_DECODE_DUCK,
+        "image_decode_png": _SQL_IMG_DECODE_PNG_DUCK,
         "image_resize_nn": _SQL_IMG_RESIZE_NN_DUCK,
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,

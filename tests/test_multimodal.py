@@ -117,3 +117,106 @@ def test_resize_decoded_nearest_neighbor(spark):
     )
     assert r["status"] == "ok"
     assert r["thumb_sha"] == hashlib.sha256(exp).hexdigest()
+
+
+# --- PNG: pure-Python decode (zlib + unfiltering), VERDICT r2 #3 ---
+
+from engine.multimodal import ImageDecodeError, decode_png, encode_png  # noqa: E402
+import pytest  # noqa: E402
+
+
+def _ramp(w, h, c, seed=0):
+    return bytes((seed + i * 7) % 256 for i in range(w * h * c))
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_type(ft):
+    """encode->decode is pixel-identical under each of the five spec
+    scanline filters (None/Sub/Up/Average/Paeth)."""
+    w, h, c = 9, 5, 3
+    pix = _ramp(w, h, c, seed=ft)
+    png = encode_png(w, h, c, pix, filter_of_row=lambda r: ft)
+    assert decode_png(png) == (w, h, c, pix)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_color_types(channels):
+    """Gray / gray+alpha / RGB / RGBA all round-trip (color types 0/4/2/6)."""
+    w, h = 6, 4
+    pix = _ramp(w, h, channels, seed=channels)
+    png = encode_png(w, h, channels, pix, filter_of_row=lambda r: (r + 1) % 5)
+    assert decode_png(png) == (w, h, channels, pix)
+
+
+def test_png_mixed_filters_per_row():
+    w, h, c = 11, 7, 4
+    pix = _ramp(w, h, c, seed=3)
+    png = encode_png(w, h, c, pix, filter_of_row=lambda r: r % 5)
+    assert decode_png(png) == (w, h, c, pix)
+
+
+def test_png_corrupt_crc_rejected():
+    png = bytearray(encode_png(4, 3, 3, _ramp(4, 3, 3)))
+    png[-5] ^= 0xFF  # flip a byte inside the IEND CRC
+    with pytest.raises(ImageDecodeError, match="crc"):
+        decode_png(bytes(png))
+
+
+def test_png_truncated_rejected():
+    png = encode_png(4, 3, 3, _ramp(4, 3, 3))
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        decode_png(png[:16])
+    with pytest.raises(ImageDecodeError, match="truncated|crc"):
+        decode_png(png[: len(png) - 7])
+
+
+def test_png_bad_deflate_rejected():
+    # valid chunk structure (CRC recomputed) around garbage IDAT bytes
+    from engine.multimodal import _png_chunk, _PNG_MAGIC  # noqa: PLC2701
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x00garbage")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="deflate"):
+        decode_png(png)
+
+
+def test_png_interlace_and_depth_rejected():
+    from engine.multimodal import _png_chunk, _PNG_MAGIC  # noqa: PLC2701
+    import struct
+    import zlib
+
+    def mk(depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+        raw = zlib.compress(b"\x00" + b"\x01" * 6 + b"\x00" + b"\x02" * 6)
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", raw)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ImageDecodeError, match="interlaced"):
+        decode_png(mk(8, 1))
+    with pytest.raises(ImageDecodeError, match="bit depth"):
+        decode_png(mk(16, 0))
+
+
+def test_decode_images_dispatches_png(spark):
+    """The Arrow decode stage handles PNM and PNG side by side in one batch,
+    with corrupt PNGs becoming error rows."""
+    pix = _ramp(3, 2, 3)
+    png = encode_png(3, 2, 3, pix, filter_of_row=lambda r: 4)
+    rows = spark.createDataFrame(
+        [(1, png), (2, b"P6\n3 2\n255\n" + pix), (3, png[:16])],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_images(rows).collect()}
+    assert got[1]["status"] == "ok" and got[2]["status"] == "ok"
+    assert got[1]["pixel_sha"] == got[2]["pixel_sha"]
+    assert got[3]["status"] == "error:truncated chunk"
