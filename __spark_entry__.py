@@ -150,25 +150,26 @@ FROM norm
 # the grayscale page as a cross-check on its detector; the web recast is the
 # crawl-provided `text` column as a cross-check on extraction — docs whose
 # extracted text is far shorter than the crawl text are flagged
-# 'undercovered' (integer-only rule, keep-rule discipline). This is the one
-# query that deliberately READS the text column the pipeline otherwise
-# prunes.
+# 'undercovered' (integer-only rule, keep-rule discipline). IN-ROW since r3
+# (VERDICT r2 #4): length(text) is computed at the scan and rides through
+# the fused Arrow stage as one integer per document, so the diagnostic is
+# per-row arithmetic — zero Exchange, zero Join (plan-pinned) — instead of
+# the r2 corpus-wide url join that shuffled the crawl text at 100 TB.
 def _q_extract_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from engine.pipeline import run_extract
+    from engine.pipeline import run_fused_coverage
 
     pages = pages_from_documents(spark, sf_dir)
-    out = run_extract(pages, mode="fused", num_parts=8, run_id="cov")
-    joined = out.join(pages.select("url", "text"), "url")
-    return joined.select(
+    out = run_fused_coverage(pages)
+    return out.select(
         F.col("url").cast("bigint").alias("doc_id"),
         F.length("extracted_text").cast("bigint").alias("n_extracted"),
-        F.length("text").cast("bigint").alias("n_crawl"),
+        F.col("n_crawl").cast("bigint").alias("n_crawl"),
         F.expr(
-            "CAST(round(length(extracted_text) * 1.0 / length(text), 4) AS DOUBLE)"
+            "CAST(round(length(extracted_text) * 1.0 / n_crawl, 4) AS DOUBLE)"
         ).alias("coverage_ratio"),
         F.expr(
             "CASE WHEN status <> 'ok' THEN status "
-            "WHEN length(extracted_text) * 2 < length(text) THEN 'undercovered' "
+            "WHEN length(extracted_text) * 2 < n_crawl THEN 'undercovered' "
             "ELSE 'covered' END"
         ).alias("coverage_flag"),
     )

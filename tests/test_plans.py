@@ -239,3 +239,16 @@ def test_resume_anti_join_broadcasts_done_set(spark, pages_unit_path, tmp_path):
     todo = tableio.remaining(pages, out)
     plan = _plan(todo)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_coverage_plan_has_no_join_and_no_exchange(spark):
+    """VERDICT r2 #4: the crawl-text coverage differential must be in-row —
+    n_crawl rides through the fused Arrow stage, so the plan contains no
+    Join and no Exchange (the r2 version shuffled the crawl text corpus-wide
+    on url)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["extract_coverage"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
