@@ -676,16 +676,10 @@ shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
 # windowed form above (`_SHINGLES_SPARK`) is retained only as the DuckDB
 # oracle's structural twin and for the Jaccard query, whose set-intersection
 # join genuinely needs shingle rows.
-import hashlib as _hashlib  # noqa: E402
-
-_MH_P = 4294967311  # smallest prime > 2^32
-_MH_A = [
-    (int(_hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:8], 16) % (2**29 - 1)) | 1
-    for i in range(8)
-]
-_MH_B = [
-    int(_hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:8], 16) for i in range(8)
-]
+# Constants + expression builders live in engine/minhash.py since r3 so the
+# incremental streaming path (engine/streaming.neardedup_stream) computes THE
+# SAME signatures by construction.
+from engine.minhash import A as _MH_A, B as _MH_B, P as _MH_P  # noqa: E402
 
 
 def _hex8_duck(expr: str) -> str:

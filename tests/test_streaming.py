@@ -158,3 +158,50 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) >= 10  # the horizon actually captures conversions
+
+
+def test_neardedup_stream_matches_batch_pairs(spark, tmp_path):
+    """VERDICT r2 #5: two-batch incremental MinHash-LSH emits exactly the
+    pairs the batch minhash_lsh_pairs query finds on the union corpus —
+    each pair exactly once, in the batch where its later member arrives."""
+    import shutil
+
+    import __spark_entry__ as em
+    from engine.streaming import neardedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    docs_dir = str(tmp_path / "docs")
+    sig_dir = str(tmp_path / "sigs")
+    pairs_dir = str(tmp_path / "pairs")
+    cp_dir = str(tmp_path / "cp")
+
+    # batch 1: even doc_ids land first
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(
+        docs_dir, mode="overwrite"
+    )
+    neardedup_stream(spark, docs_dir, sig_dir, pairs_dir, cp_dir)
+    first = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    }
+
+    # batch 2: odd doc_ids arrive later (new parquet file in the same dir)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(
+        str(tmp_path / "b2"), mode="overwrite"
+    )
+    for f in __import__("os").listdir(str(tmp_path / "b2")):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "b2" / f), f"{docs_dir}/batch2_{f}")
+    neardedup_stream(spark, docs_dir, sig_dir, pairs_dir, cp_dir)
+
+    got = [
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    ]
+    assert len(got) == len(set(got)), "a pair was emitted twice"
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in em.queries()["minhash_lsh_pairs"](spark, sf).collect()
+    }
+    assert set(got) == expected
+    # batch-1 pairs were even-even only; the union filled in the rest
+    assert first <= expected and all(a % 2 == 0 and b % 2 == 0 for a, b in first)
