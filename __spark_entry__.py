@@ -491,20 +491,26 @@ _SQL_STATS_DUCK = _SQL_STATS_SPARK.replace(
 # at most |keys|×16 rows folds the partials. Result is identical to the
 # direct GROUP BY (the oracle); integer counts fold exactly, double sums
 # fold before the single final rounding.
+# Fixed-point partials (ADVICE r2 #5): double addition is non-associative,
+# so a two-stage salted sum could disagree with the oracle's direct sum at a
+# round(x,4) boundary. Summing round(value·10⁴) as BIGINT makes the fold
+# exact in ANY grouping/order — the two-phase Spark plan and DuckDB's direct
+# aggregate are then equal by arithmetic, not by luck.
 _SQL_SALTED_AGG_SPARK = """
 WITH partials AS (
   SELECT event_type, pmod(event_id, 16) AS salt,
-         count(*) AS c, sum(value) AS s
+         count(*) AS c, sum(CAST(round(value * 10000) AS BIGINT)) AS s
   FROM events GROUP BY event_type, pmod(event_id, 16))
 SELECT event_type,
        CAST(sum(c) AS BIGINT) AS n,
-       CAST(round(sum(s), 4) AS DOUBLE) AS total_value
+       CAST(round(sum(s) / 10000.0, 4) AS DOUBLE) AS total_value
 FROM partials GROUP BY event_type
 """
 _SQL_SALTED_AGG_DUCK = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+       CAST(round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4) AS DOUBLE)
+         AS total_value
 FROM events GROUP BY event_type
 """
 
@@ -1727,16 +1733,14 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 # fact (AQE picks broadcast when the qualifying set is small).
 _SQL_TPCH_Q18 = """
 WITH big AS (
-  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING sum(l_quantity) > 150)
+  SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
 SELECT o.o_orderkey,
        CAST(unix_timestamp(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
        CAST(round(o.o_totalprice, 4) AS DOUBLE) AS totalprice,
        CAST(round(t.qty, 4) AS DOUBLE) AS total_qty
 FROM orders o
-JOIN (SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
-      GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
-  ON o.o_orderkey = t.l_orderkey
+JOIN big t ON o.o_orderkey = t.l_orderkey
 """
 _SQL_TPCH_Q18_DUCK = _SQL_TPCH_Q18.replace(
     "unix_timestamp(o.o_orderdate)", "floor(epoch(o.o_orderdate))"

@@ -108,6 +108,19 @@ def read_url(spark: SparkSession, path: str, url: str) -> DataFrame | None:
         return read_table(spark, path).filter(F.col("url") == url)
     with open(layout, encoding="utf-8") as f:
         n_buckets = json.load(f)["n_buckets"]
+    # Validate the manifest against the directories actually present
+    # (ADVICE r2 #1): a merge invoked with a different n_buckets than the
+    # table's real layout would leave a stale manifest, and hashing into the
+    # wrong bucket silently returns empty for a url that exists. On any
+    # inconsistency, fall back to the pruned full-table plan (correct, just
+    # not O(1/n_buckets)).
+    observed = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("bucket=") and d.split("=", 1)[1].isdigit()
+    ]
+    if not observed or max(observed) >= n_buckets:
+        return read_table(spark, path).filter(F.col("url") == url)
     # hash in the JVM so the lookup bucket always matches the writer's
     b = (
         spark.range(1)
@@ -185,6 +198,15 @@ def merge_by_url(
     if "/" not in target_path and iceberg_available(spark):
         merge_by_url_iceberg(spark, target_path, updates)
         return
+    # An existing table's recorded layout wins over the caller's n_buckets
+    # (ADVICE r2 #1): hashing updates with a different bucket count than the
+    # table's real layout would scatter rows into wrong buckets and break
+    # the point lookup. The bucket count is a table property, not a call
+    # parameter — exactly like Iceberg's partition spec.
+    layout_file = os.path.join(target_path, "_layout.json")
+    if os.path.exists(layout_file):
+        with open(layout_file, encoding="utf-8") as f:
+            n_buckets = json.load(f)["n_buckets"]
     upd = _with_bucket(updates, n_buckets)
     if not os.path.exists(target_path):
         if updates.isEmpty():

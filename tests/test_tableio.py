@@ -144,3 +144,52 @@ def test_merge_migrates_flat_layout(spark, pages_unit_path, tmp_path):
     assert final.count() == 64
     assert final.filter("lineage = 'b'").count() == 5
     assert final.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_merge_respects_existing_layout_and_lookup_survives(spark, tmp_path):
+    """ADVICE r2 #1: a merge invoked with a DIFFERENT n_buckets than the
+    table's recorded layout must not scatter rows into wrong buckets — the
+    table's _layout.json wins, and the point lookup still finds every url."""
+    from engine import tableio
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"u{i}", f"t{i}") for i in range(20)], "url string, extracted_text string"
+    )
+    tableio.merge_by_url(spark, target, base, n_buckets=8)
+    upd = spark.createDataFrame(
+        [("u3", "NEW3"), ("u99", "NEW99")], "url string, extracted_text string"
+    )
+    # caller passes the wrong bucket count; recorded layout (8) must win
+    tableio.merge_by_url(spark, target, upd, n_buckets=3)
+    import json
+    import os
+
+    with open(os.path.join(target, "_layout.json"), encoding="utf-8") as f:
+        assert json.load(f)["n_buckets"] == 8
+    assert tableio.read_url(spark, target, "u3").collect()[0][
+        "extracted_text"
+    ] == "NEW3"
+    assert tableio.read_url(spark, target, "u99").count() == 1
+    assert tableio.read_table(spark, target).count() == 21
+
+
+def test_read_url_falls_back_on_stale_manifest(spark, tmp_path):
+    """A manifest claiming fewer buckets than the directories present is
+    inconsistent — read_url must fall back to the (correct) pruned full-table
+    plan instead of hashing into the wrong bucket and returning empty."""
+    import json
+    import os
+
+    from engine import tableio
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(f"u{i}", f"t{i}") for i in range(20)], "url string, extracted_text string"
+    )
+    tableio.merge_by_url(spark, target, base, n_buckets=8)
+    with open(os.path.join(target, "_layout.json"), "w", encoding="utf-8") as f:
+        json.dump({"n_buckets": 2}, f)  # stale: dirs go up to bucket=7
+    for i in range(20):
+        got = tableio.read_url(spark, target, f"u{i}")
+        assert got.count() == 1, f"u{i} lost under stale manifest"
