@@ -1566,6 +1566,113 @@ SELECT doc_id,
 FROM d
 """
 
+# Training-window chunking (new in r3): split each document into fixed-size
+# token windows with overlap (128-token chunks, stride 96 → 32-token overlap)
+# — the op that turns a cleaned corpus into model-ready training sequences.
+# Spark side is scan → project → explode(sequence) → project: the chunk
+# starts are an in-row integer sequence, so NOTHING shuffles at any corpus
+# size (chunking is embarrassingly per-document).
+_CHUNK_LEN, _CHUNK_STRIDE = 128, 96
+_SQL_DOC_CHUNKS_SPARK = f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             explode(sequence(0, greatest(0, size(toks) - 1), {_CHUNK_STRIDE}))
+               AS start
+      FROM t)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(size(slice(toks, start + 1, {_CHUNK_LEN})) AS BIGINT) AS n_tokens,
+       md5(array_join(slice(toks, start + 1, {_CHUNK_LEN}), ' ')) AS chunk_hash
+FROM c
+"""
+_SQL_DOC_CHUNKS_DUCK = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(1, len(toks)), {_CHUNK_STRIDE})) AS start
+      FROM t)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + {_CHUNK_LEN})) AS BIGINT)
+         AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + {_CHUNK_LEN}), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+# Corpus vocabulary / document frequency + IDF (new in r3): the token→df
+# table a quality or BM25-style pipeline builds once per corpus. The
+# explode→distinct→groupBy shuffles are inherent to a corpus-wide aggregate;
+# partial aggregation keeps map-side combine in play. df >= 5 bounds the
+# emitted vocabulary deterministically.
+_SQL_VOCAB_DF_SPARK = """
+WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)),
+n AS (SELECT count(*) AS total FROM documents)
+SELECT tok AS token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(round(ln((SELECT total FROM n) * 1.0 / count(*)), 4) AS DOUBLE)
+         AS idf_r
+FROM tok GROUP BY tok HAVING count(*) >= 5
+"""
+_SQL_VOCAB_DF_DUCK = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+n AS (SELECT count(*) AS total FROM documents)
+SELECT tok AS token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(round(ln((SELECT total FROM n) * 1.0 / count(*)), 4) AS DOUBLE)
+         AS idf_r
+FROM tok GROUP BY tok HAVING count(*) >= 5
+"""
+
+# Benchmark decontamination (new in r3): flag training documents sharing any
+# 8-gram with a benchmark set — the public eval-contamination gate (cf.
+# GPT-3/Gopher decontamination methodology). The "benchmark" is a
+# deterministic slice of the corpus (doc_id % 97 = 0). Spark shape: shingle
+# hashes are in-row arrays (no token shuffle); the tiny benchmark gram set
+# broadcasts; the probe is a semi join — at 100 TB the corpus moves ZERO
+# bytes for this check (scan → explode grams → broadcast semi join → agg).
+_DECON_GRAM_SPARK = (
+    "transform(sequence(0, size(toks) - 8), "
+    "i -> CAST(conv(substring(md5(array_join(slice(toks, i + 1, 8), ' ')), "
+    "1, 8), 16, 10) AS BIGINT))"
+)
+_SQL_DECON_SPARK = f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, explode({_DECON_GRAM_SPARK}) AS gram
+      FROM t WHERE size(toks) >= 8),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+         FROM g WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.n_hits IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_shared_grams
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+# DuckDB twin: windowed 8-gram over the shingle relation, same md5-hex hash.
+_SQL_DECON_DUCK_GRAM = " || ' ' || ".join(
+    ["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, 8)]
+)
+_SQL_DECON_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents),
+g8 AS (SELECT doc_id, {_SQL_DECON_DUCK_GRAM} AS gram8
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (SELECT doc_id, {_hex8_duck('md5(gram8)')} AS gram
+      FROM g8 WHERE gram8 IS NOT NULL),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+         FROM g WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.n_hits IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_shared_grams
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
 # Deterministic dataset split + sampling: the reproducible train/val/test
 # assignment every training pipeline needs. Assignment key is a content
 # hash (md5 — identical in both engines and stable across partitionings,
@@ -1838,6 +1945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _sql_query(_SQL_DATASET_SPLIT_SPARK, "documents"),
         "repetition_score": _sql_query(_SQL_REPETITION_SPARK, "documents"),
         "pii_scrub": _sql_query(_SQL_PII_SPARK, "documents"),
+        "doc_chunks": _sql_query(_SQL_DOC_CHUNKS_SPARK, "documents"),
+        "vocab_df": _sql_query(_SQL_VOCAB_DF_SPARK, "documents"),
+        "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -1909,6 +2019,9 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _SQL_DATASET_SPLIT_DUCK,
         "repetition_score": _SQL_REPETITION_DUCK,
         "pii_scrub": _SQL_PII_DUCK,
+        "doc_chunks": _SQL_DOC_CHUNKS_DUCK,
+        "vocab_df": _SQL_VOCAB_DF_DUCK,
+        "decontaminate": _SQL_DECON_DUCK,
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "multimodal_resize": _SQL_MM_RESIZE_DUCK,
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,

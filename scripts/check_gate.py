@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--master", default="local[16]")
+    ap.add_argument("--json", default=None,
+                    help="also write driver-format CORRECTNESS json here")
     args = ap.parse_args()
 
     import duckdb
@@ -49,6 +51,7 @@ def main() -> None:
 
     names = args.only or sorted(em.queries().keys())
     failures: list[str] = []
+    results: dict[str, dict] = {}
     t_all = time.monotonic()
     for name in names:
         t0 = time.monotonic()
@@ -69,14 +72,33 @@ def main() -> None:
                 else f"{len(a)}/{len(b)} rows, first diff: "
                 + next((f"{x} vs {y}" for x, y in zip(a, b) if x != y), "row count")
             )
+            results[name] = {
+                "rows_match": len(a) == len(b),
+                "schema_match": sorted(cols) == sorted(dcols),
+                "hash_match": ok,
+                "spark_rows": len(a),
+                "oracle_rows": len(b),
+                "err": None,
+            }
         except Exception as e:  # noqa: BLE001 — report, keep checking
             ok, detail = False, f"EXC {e!r:.200}"
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": repr(e)[:300],
+            }
         status = "ok " if ok else "FAIL"
         print(f"{status} {name:28s} {time.monotonic() - t0:6.1f}s  {detail}")
         if not ok:
             failures.append(name)
     print(f"-- {len(names)} queries in {time.monotonic() - t_all:.0f}s; "
           f"failures: {failures or 'none'}")
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w", encoding="utf-8") as f:
+            _json.dump(results, f, indent=2)
+        print(f"wrote {args.json}")
     spark.stop()
     sys.exit(1 if failures else 0)
 

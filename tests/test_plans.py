@@ -252,3 +252,24 @@ def test_coverage_plan_has_no_join_and_no_exchange(spark):
     plan = _plan(df, "simple")
     assert "Join" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_doc_chunks_plan_has_zero_exchange(spark):
+    """Training-window chunking is embarrassingly per-document: chunk starts
+    are an in-row integer sequence — scan → explode → project, no shuffle."""
+    import __spark_entry__ as em
+
+    df = em.queries()["doc_chunks"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_probes_via_broadcast(spark):
+    """The benchmark gram set is tiny by construction — the contamination
+    probe must be a broadcast (semi) join, never a corpus-side shuffle of
+    the gram stream against itself."""
+    import __spark_entry__ as em
+
+    df = em.queries()["decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
