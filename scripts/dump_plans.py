@@ -87,12 +87,43 @@ def main() -> None:
         "scale nothing moves between executors to compute signatures.",
         _plan(em.queries()["minhash_signatures"](spark, args.sf), "simple"),
     ))
+    pairs_df = em.queries()["minhash_lsh_pairs"](spark, args.sf)
+    pairs_df.collect()  # materialize: the FINAL adaptive plan is the evidence
     sections.append((
-        "MinHash LSH pairs (banded equi-join)",
-        "The only shuffles left in the pairs pipeline are the banded "
-        "(band, key) equi-join and its DISTINCT — the legitimate candidate "
-        "co-location; signatures themselves are computed shuffle-free.",
-        _plan(em.queries()["minhash_lsh_pairs"](spark, args.sf), "simple"),
+        "MinHash LSH pairs (single-scan banding, EXECUTED plan)",
+        "Signatures are projected ONCE and (band, key) rows exploded in-row "
+        "(VERDICT r2 #1); the banded self-join is a shuffle join whose two "
+        "exchanges canonicalize identically, so the executed plan below "
+        "shows exactly ONE FileScan of documents.parquet with the second "
+        "side a ReusedExchange. The only shuffles are the banded equi-join "
+        "and its DISTINCT. (r2 had 8 FileScans here.)",
+        _plan(pairs_df, "simple").split("== Initial Plan ==")[0],
+    ))
+    ann_df = em.queries()["ann_lsh_candidates"](spark, args.sf)
+    ann_df.collect()
+    sections.append((
+        "ANN LSH candidates (single-scan banding, EXECUTED plan)",
+        "Same discipline over embeddings: one FileScan + ReusedExchange "
+        "(r2 inlined the signature projection into up to 16 scan arms).",
+        _plan(ann_df, "simple").split("== Initial Plan ==")[0],
+    ))
+    sections.append((
+        "Training-window chunking (doc_chunks)",
+        "Chunk starts are an in-row integer sequence: scan → explode → "
+        "Project, ZERO Exchange — chunking a 100 TB corpus moves no bytes.",
+        _plan(em.queries()["doc_chunks"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Decontamination probe (broadcast)",
+        "The benchmark 8-gram set is tiny and broadcasts; the corpus-side "
+        "gram stream is probed map-side — no corpus shuffle for the check.",
+        _plan(em.queries()["decontaminate"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "In-row coverage differential (extract_coverage)",
+        "n_crawl rides through the fused Arrow stage: no Join, no Exchange "
+        "(r2 joined extraction output back to the crawl text on url).",
+        _plan(em.queries()["extract_coverage"](spark, args.sf), "simple"),
     ))
 
     lines = [
