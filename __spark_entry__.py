@@ -684,7 +684,9 @@ shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
 # join genuinely needs shingle rows.
 # Constants + expression builders live in engine/minhash.py since r3 so the
 # incremental streaming path (engine/streaming.neardedup_stream) computes THE
-# SAME signatures by construction.
+# SAME signatures by construction — the Spark SQL below is BUILT from those
+# builders, not a textual copy (an edit there propagates to both paths).
+from engine import minhash as _mh  # noqa: E402
 from engine.minhash import A as _MH_A, B as _MH_B, P as _MH_P  # noqa: E402
 
 
@@ -696,19 +698,10 @@ def _hex8_duck(expr: str) -> str:
     )
 
 
-_MINHASH_FAST_SIG_COLS = ",\n       ".join(
-    f"array_min(transform(hs, h -> (h * {_MH_A[i]} + {_MH_B[i]}) % {_MH_P})) AS sig{i}"
-    for i in range(8)
-)
-_MINHASH_FAST_CTES = """
+_MINHASH_FAST_SIG_COLS = ",\n       ".join(_mh.sig_col_exprs())
+_MINHASH_FAST_CTES = f"""
 WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
-s AS (
-  SELECT doc_id,
-         transform(sequence(0, size(toks) - 3),
-                   i -> CAST(conv(substring(md5(
-                          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
-                        ), 1, 8), 16, 10) AS BIGINT)) AS hs
-  FROM t WHERE size(toks) >= 3)
+s AS (SELECT doc_id, {_mh.HS_EXPR} AS hs FROM t WHERE size(toks) >= 3)
 """
 _MINHASH_FAST_SPARK = (
     _MINHASH_FAST_CTES + f"SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s"
@@ -751,11 +744,7 @@ _MINHASH_PAIRS_TAIL_SPARK = _MINHASH_PAIRS_TAIL.replace(
 # scan→sign→explode subtree ONCE (plan-pinned: exactly one FileScan of
 # documents.parquet, tests/test_plans.py). The only Exchanges left are the
 # banded equi-join co-location shuffle and the final DISTINCT.
-_MH_BAND_STRUCTS = ", ".join(
-    f"named_struct('band', {b}, 'key', "
-    f"CAST(sig{2 * b} AS STRING) || ':' || CAST(sig{2 * b + 1} AS STRING))"
-    for b in range(4)
-)
+_MH_BAND_STRUCTS = _mh.band_struct_exprs()
 _MINHASH_FAST_PAIRS = (
     _MINHASH_FAST_CTES
     + f", sig AS (SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s)\n"
@@ -844,9 +833,17 @@ def _cc_min_label(nodes: DataFrame, edges: DataFrame, max_rounds: int = 50) -> D
     # checkpoints.
     sc = labels.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        import tempfile
+        # One application-scoped dir, removed at interpreter exit — repeated
+        # invocations don't leave /tmp litter behind the process (the
+        # cleanCheckpoints conf in engine.session additionally lets the
+        # ContextCleaner reap checkpoint files within a long session once
+        # the returned frame is garbage-collected).
+        import atexit
+        import shutil as _shutil
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_ckpt_"))
+        ckpt_dir = f"/tmp/cc_ckpt_{sc.applicationId}"
+        sc.setCheckpointDir(ckpt_dir)
+        atexit.register(_shutil.rmtree, ckpt_dir, True)
     out = labels.checkpoint(eager=True)
     labels.unpersist()
     return out
@@ -1450,11 +1447,20 @@ def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(doc_id)
                 w, h = 4 + did % 8, 3 + did % 5
-                pix = ((text or "") * 8)[: w * h * 3].encode("utf-8")
-                png = encode_png(
-                    w, h, 3, pix, filter_of_row=lambda r, d=did: (d + r) % 5
-                )
+                s = ((text or "") * 8)[: w * h * 3]
                 ids.append(did)
+                # Construction guard (oracle-mirrored): a doc too short to
+                # fill the raster, or with non-ASCII chars (byte length !=
+                # char length), cannot be built into a PNG whose pixel sha
+                # the char-sliced oracle can recompute — emit a bad-magic
+                # payload → deterministic error row, never a task crash.
+                if len(s) < w * h * 3 or not s.isascii():
+                    payloads.append(b"XX")
+                    continue
+                png = encode_png(
+                    w, h, 3, s.encode("ascii"),
+                    filter_of_row=lambda r, d=did: (d + r) % 5,
+                )
                 payloads.append(png[:16] if did % 17 == 0 else png)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -1463,17 +1469,25 @@ def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_IMG_DECODE_PNG_DUCK = f"""
-WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text FROM documents),
-px AS (SELECT doc_id, w, h,
-              substr(repeat(text, 8), 1, (w * h * 3)::INT) AS pix FROM p)
-SELECT doc_id,
-       CASE WHEN doc_id % 17 = 0 THEN 'error:truncated chunk' ELSE 'ok' END AS status,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE w END AS BIGINT) AS width,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE h END AS BIGINT) AS height,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 3 END AS BIGINT) AS channels,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE length(pix) END AS BIGINT) AS n_pixel_bytes,
-       CASE WHEN doc_id % 17 = 0 THEN '' ELSE sha256(pix) END AS pixel_sha
-FROM px
+WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text,
+                  (length(repeat(text, 8)) < ({_IMG_W}) * ({_IMG_H}) * 3
+                   OR regexp_matches(text, '[^\\x00-\\x7f]')) AS bad
+           FROM documents),
+px AS (SELECT doc_id, w, h, bad,
+              substr(repeat(text, 8), 1, (w * h * 3)::INT) AS pix FROM p),
+st AS (SELECT doc_id, w, h, pix,
+              CASE WHEN bad THEN 'error:unsupported'
+                   WHEN doc_id % 17 = 0 THEN 'error:truncated chunk'
+                   ELSE 'ok' END AS status
+       FROM px)
+SELECT doc_id, status,
+       CAST(CASE WHEN status = 'ok' THEN w ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN status = 'ok' THEN h ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN status = 'ok' THEN 3 ELSE 0 END AS BIGINT) AS channels,
+       CAST(CASE WHEN status = 'ok' THEN length(pix) ELSE 0 END AS BIGINT)
+         AS n_pixel_bytes,
+       CASE WHEN status = 'ok' THEN sha256(pix) ELSE '' END AS pixel_sha
+FROM st
 """
 
 
@@ -1600,13 +1614,14 @@ FROM c
 """
 
 # Corpus vocabulary / document frequency + IDF (new in r3): the token→df
-# table a quality or BM25-style pipeline builds once per corpus. The
-# explode→distinct→groupBy shuffles are inherent to a corpus-wide aggregate;
-# partial aggregation keeps map-side combine in play. df >= 5 bounds the
-# emitted vocabulary deterministically.
+# table a quality or BM25-style pipeline builds once per corpus. Per-doc
+# token dedup happens IN-ROW (array_distinct) so the only shuffle is the
+# final token groupBy with map-side partials — ONE Exchange, not the
+# explode→DISTINCT→groupBy double shuffle the naive formulation pays.
+# df >= 5 bounds the emitted vocabulary deterministically.
 _SQL_VOCAB_DF_SPARK = """
-WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents)),
+WITH tok AS (SELECT explode(array_distinct(split(text, ' '))) AS tok
+             FROM documents),
 n AS (SELECT count(*) AS total FROM documents)
 SELECT tok AS token,
        CAST(count(*) AS BIGINT) AS df,

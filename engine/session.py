@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # reap reliable-checkpoint files once their RDD is GC'd (iterative
+        # algorithms checkpoint per invocation — without this, a long
+        # session accumulates checkpoint data on disk)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     # MiniCatalog: the in-repo DSv2 row-level-operation catalog (MERGE INTO
     # executes for real — engine/java/minicat, VERDICT r2 #2). Registered

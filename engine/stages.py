@@ -340,42 +340,27 @@ def extract_fused_coverage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
     length arrives as ONE integer per document (computed Catalyst-side — the
     text column itself never crosses the Arrow channel) and rides through
     extraction, so the coverage differential is per-row arithmetic
-    downstream — no corpus-wide url join at any scale."""
-    for pdf in batches:
-        rows: dict[str, list] = {
-            "url": [], "warc_ts": [], "extracted_text": [], "spans": [],
-            "n_blocks": [], "n_kept": [], "status": [], "n_crawl": [],
-        }
-        for url, ts, html, lang, n_crawl in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], pdf["n_crawl"]
-        ):
-            r = extract_document(url, html, lang)
-            rows["url"].append(url)
-            rows["warc_ts"].append(ts)
-            rows["extracted_text"].append(r.extracted_text)
-            rows["spans"].append(
-                [
-                    {"block_id": s.block_id, "start": s.start, "end": s.end, "lang": s.lang}
-                    for s in r.spans
-                ]
-            )
-            rows["n_blocks"].append(r.n_blocks)
-            rows["n_kept"].append(r.n_kept)
-            rows["status"].append(r.status)
-            rows["n_crawl"].append(n_crawl)
-        yield pd.DataFrame(rows)
+    downstream — no corpus-wide url join at any scale. Same loop as the
+    plain fused stage (shared _extract_fused_impl) — no drift possible."""
+    return _extract_fused_impl(batches, False, passthrough=("n_crawl",))
 
 
 def _extract_fused_impl(
-    batches: Iterator[pd.DataFrame], fallback: bool
+    batches: Iterator[pd.DataFrame],
+    fallback: bool,
+    passthrough: tuple[str, ...] = (),
 ) -> Iterator[pd.DataFrame]:
+    """Shared fused row loop; ``passthrough`` input columns ride along
+    unchanged and are appended after the core schema columns."""
     for pdf in batches:
         rows: dict[str, list] = {
             "url": [], "warc_ts": [], "extracted_text": [], "spans": [],
             "n_blocks": [], "n_kept": [], "status": [],
+            **{c: [] for c in passthrough},
         }
-        for url, ts, html, lang in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"]
+        extra_cols = [pdf[c] for c in passthrough]
+        for url, ts, html, lang, *extras in zip(
+            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], *extra_cols
         ):
             r = extract_document(url, html, lang, fallback)
             rows["url"].append(url)
@@ -390,4 +375,6 @@ def _extract_fused_impl(
             rows["n_blocks"].append(r.n_blocks)
             rows["n_kept"].append(r.n_kept)
             rows["status"].append(r.status)
+            for c, v in zip(passthrough, extras):
+                rows[c].append(v)
         yield pd.DataFrame(rows)

@@ -131,8 +131,14 @@ def read_url(spark: SparkSession, path: str, url: str) -> DataFrame | None:
     )
     bucket_dir = f"{path}/bucket={b}"
     if not os.path.exists(bucket_dir):
-        # url cannot exist: empty result with the table's schema, no data read
-        return read_table(spark, path).filter(F.lit(False))
+        # Either the url genuinely doesn't exist (its bucket is empty — the
+        # common case, and the scan below returns empty quickly with the
+        # pushdown) OR the manifest claims MORE buckets than the real layout
+        # and we hashed into a phantom bucket. Falling back to the pruned
+        # full-table plan is correct in both cases; returning an empty
+        # result unconditionally was only correct in the first (the other
+        # direction of the stale-manifest guard above).
+        return read_table(spark, path).filter(F.col("url") == url)
     return (
         spark.read.option("basePath", path)
         .parquet(bucket_dir)

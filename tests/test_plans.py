@@ -273,3 +273,16 @@ def test_decontaminate_probes_via_broadcast(spark):
     df = em.queries()["decontaminate"](spark, "/root/testdata/sf0.001")
     plan = _plan(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vocab_df_single_data_shuffle(spark):
+    """Per-doc token dedup is in-row (array_distinct): the corpus-wide df
+    aggregate pays exactly ONE data shuffle (the token groupBy). The scalar
+    total-docs subquery contributes an Exchange SinglePartition over its
+    one-row partial counts — metadata-sized, not a data movement — so the
+    assertion counts hashpartitioning exchanges."""
+    import __spark_entry__ as em
+
+    df = em.queries()["vocab_df"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
