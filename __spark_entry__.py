@@ -298,6 +298,38 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(new_s) AS BIGINT) AS n_sessions
 FROM g GROUP BY user_id
 """
+# Built-in session_window twin (new in r3): the same gap sessionization via
+# Spark's native session_window aggregate (SURVEY §2.5/§2.9 — the operator a
+# Spark user reaches for first; the gaps-and-islands SQL above and the
+# stateful streaming sessionizer are its equivalents, all three pinned).
+# Spark merge rule: windows [ts, ts+gap) merge when they OVERLAP, i.e. a new
+# session starts when the gap is >= 30 min — the oracle mirrors >= exactly.
+_SQL_SESSION_WINDOW_SPARK = """
+SELECT user_id,
+       CAST(unix_timestamp(session_window.start) AS BIGINT) AS session_start_epoch,
+       CAST(unix_timestamp(session_window.end) AS BIGINT) AS session_end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id, session_window(ts, '30 minutes')
+"""
+_SQL_SESSION_WINDOW_DUCK = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM g)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS session_end_epoch,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM i GROUP BY user_id, island
+"""
+
 _SQL_SESSIONIZE_SPARK = """
 WITH g AS (
   SELECT user_id, event_id,
@@ -1923,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_order": _sql_query(_SQL_READING_ORDER, "documents"),
         "reassembly": _sql_query(_SQL_REASSEMBLY_SPARK, "documents"),
         "sessionize": _sql_query(_SQL_SESSIONIZE_SPARK, "events"),
+        "session_window_rollup": _sql_query(_SQL_SESSION_WINDOW_SPARK, "events"),
         "asof_join": _sql_query(_SQL_ASOF_SPARK, "events"),
         "json_extract_rollup": _sql_query(_SQL_JSON_SPARK, "events"),
         "time_spine_fill": _sql_query(_SQL_SPINE_SPARK, "events"),
@@ -1998,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "reading_order": _SQL_READING_ORDER,
         "reassembly": _SQL_REASSEMBLY_DUCK,
         "sessionize": _SQL_SESSIONIZE,
+        "session_window_rollup": _SQL_SESSION_WINDOW_DUCK,
         "asof_join": _SQL_ASOF_DUCK,
         "json_extract_rollup": _SQL_JSON_DUCK,
         "time_spine_fill": _SQL_SPINE_DUCK,

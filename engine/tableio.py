@@ -201,7 +201,11 @@ def merge_by_url(
     (``engine/run_pipeline.py`` stages the run output to parquet before
     merging for exactly this reason).
     """
-    if "/" not in target_path and iceberg_available(spark):
+    if "/" not in target_path and (
+        iceberg_available(spark) or rowlevel_catalog_available(spark)
+    ):
+        # catalog table ident → native MERGE INTO (Iceberg in production;
+        # the in-repo MiniCatalog exercises the same statement offline)
         merge_by_url_iceberg(spark, target_path, updates)
         return
     # An existing table's recorded layout wins over the caller's n_buckets

@@ -87,3 +87,14 @@ def test_merge_into_delete_clause(spark, mini_table):
         "WHEN MATCHED THEN DELETE"
     )
     assert _rows(spark, mini_table) == sorted([("u1", "one", 1), ("u3", "three", 1)])
+
+
+def test_merge_by_url_routes_catalog_idents_to_merge_into(spark, mini_table):
+    """merge_by_url with a catalog table identifier (no '/') routes to the
+    native MERGE INTO statement — config-switch parity with the parquet
+    fallback path, exercised end-to-end through MiniCatalog."""
+    _df(spark, BASE).writeTo(mini_table).append()
+    tableio.merge_by_url(spark, mini_table, _df(spark, UPD))
+    assert _rows(spark, mini_table) == sorted(
+        [("u1", "one", 1), ("u2", "TWO", 2), ("u3", "three", 1), ("u4", "FOUR", 2)]
+    )
