@@ -1720,6 +1720,20 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
+# Deterministic stratified sampling (new in r3): k docs per language by
+# md5-hash priority — the distributed reservoir-sampling pattern with a
+# deterministic key (hash order is uniform and stable across partitionings,
+# so the "sample" is reproducible corpus-wide — the data-selection step a
+# training pipeline runs per source/stratum). Only (lang, doc_id, hash)
+# keys shuffle to the per-stratum windows; the text stays at the scan.
+_SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 5
+"""
+
 # Deterministic dataset split + sampling: the reproducible train/val/test
 # assignment every training pipeline needs. Assignment key is a content
 # hash (md5 — identical in both engines and stable across partitionings,
@@ -1991,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _sql_query(_SQL_FINGERPRINT_SPARK, "documents"),
         "corpus_filter": _sql_query(_SQL_CORPUS_FILTER_SPARK, "documents"),
         "dataset_split": _sql_query(_SQL_DATASET_SPLIT_SPARK, "documents"),
+        "stratified_sample": _sql_query(_SQL_STRATIFIED_SAMPLE, "documents"),
         "repetition_score": _sql_query(_SQL_REPETITION_SPARK, "documents"),
         "pii_scrub": _sql_query(_SQL_PII_SPARK, "documents"),
         "doc_chunks": _sql_query(_SQL_DOC_CHUNKS_SPARK, "documents"),
@@ -2066,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_FINGERPRINT_DUCK,
         "corpus_filter": _SQL_CORPUS_FILTER,
         "dataset_split": _SQL_DATASET_SPLIT_DUCK,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "repetition_score": _SQL_REPETITION_DUCK,
         "pii_scrub": _SQL_PII_DUCK,
         "doc_chunks": _SQL_DOC_CHUNKS_DUCK,
