@@ -1523,6 +1523,162 @@ FROM st
 """
 
 
+def _q_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP gate twin (r3): real 24-bit BI_RGB bitmaps built in an Arrow
+    stage (bottom-up rows, 4-byte padding, BGR order — all undone by
+    engine.multimodal.decode_bmp), oracle recomputing dims + pixel sha from
+    the same pre-encoding construction as the PPM query. Every 17th payload
+    truncated mid-header → deterministic error rows."""
+    from engine.multimodal import decode_images, encode_bmp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                w, h = 4 + did % 8, 3 + did % 5
+                s = ((text or "") * 8)[: w * h * 3]
+                ids.append(did)
+                if len(s) < w * h * 3 or not s.isascii():
+                    payloads.append(b"XX")
+                    continue
+                bmp = encode_bmp(w, h, s.encode("ascii"))
+                payloads.append(bmp[:20] if did % 17 == 0 else bmp)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return decode_images(payloads)
+
+
+_SQL_IMG_DECODE_BMP_DUCK = _SQL_IMG_DECODE_PNG_DUCK.replace(
+    "'error:truncated chunk'", "'error:truncated header'"
+)
+
+
+_GIF_PAL_EXPR_DUCK = (
+    "array_to_string(list_transform(range(1, (w * h)::INT + 1), "
+    "i -> repeat(chr(40 + (ascii(substr(pix, i, 1)) % 8) * 10), 3)), '')"
+)
+
+
+def _q_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF gate twin (r3): real GIF89a frames — REAL LZW compression on the
+    encode side, spec LZW decompression + palette mapping on the decode
+    side (engine.multimodal). Pixel indices derive from the text (ascii % 8
+    into an 8-gray palette), and the oracle rebuilds the mapped RGB byte
+    string per character, so the whole LZW round trip is value-checked.
+    Every 17th payload truncated mid-header → deterministic error rows."""
+    from engine.multimodal import decode_images, encode_gif
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    palette = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                w, h = 4 + did % 8, 3 + did % 5
+                s = ((text or "") * 8)[: w * h]
+                ids.append(did)
+                if len(s) < w * h or not s.isascii():
+                    payloads.append(b"XX")
+                    continue
+                gif = encode_gif(w, h, palette, [ord(c) % 8 for c in s])
+                payloads.append(gif[:12] if did % 17 == 0 else gif)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return decode_images(payloads)
+
+
+_SQL_IMG_DECODE_GIF_DUCK = f"""
+WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text,
+                  (length(repeat(text, 8)) < ({_IMG_W}) * ({_IMG_H})
+                   OR regexp_matches(text, '[^\\x00-\\x7f]')) AS bad
+           FROM documents),
+px AS (SELECT doc_id, w, h, bad,
+              substr(repeat(text, 8), 1, (w * h)::INT) AS pix FROM p),
+rgb AS (SELECT doc_id, w, h, bad, {_GIF_PAL_EXPR_DUCK} AS mapped FROM px),
+st AS (SELECT doc_id, w, h, mapped,
+              CASE WHEN bad THEN 'error:unsupported'
+                   WHEN doc_id % 17 = 0 THEN 'error:truncated header'
+                   ELSE 'ok' END AS status
+       FROM rgb)
+SELECT doc_id, status,
+       CAST(CASE WHEN status = 'ok' THEN w ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN status = 'ok' THEN h ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN status = 'ok' THEN 3 ELSE 0 END AS BIGINT) AS channels,
+       CAST(CASE WHEN status = 'ok' THEN length(mapped) ELSE 0 END AS BIGINT)
+         AS n_pixel_bytes,
+       CASE WHEN status = 'ok' THEN sha256(mapped) ELSE '' END AS pixel_sha
+FROM st
+"""
+
+
+def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV gate query (r3): REAL 16-bit PCM audio decode — RIFF chunk walk
+    + exact integer sum of squared samples (engine.multimodal.decode_wav).
+    Samples derive from the text ((ascii·37) mod 2001 − 1000), so the
+    oracle recomputes n_samples and sum_sq exactly. Every 13th payload
+    truncated → deterministic error rows."""
+    from engine.multimodal import decode_audio, encode_wav
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(doc_id)
+                n = 64 + did % 64
+                s = ((text or "") * 4)[:n]
+                ids.append(did)
+                if len(s) < n or not s.isascii():
+                    payloads.append(b"XX")
+                    continue
+                samples = [(ord(c) * 37) % 2001 - 1000 for c in s]
+                wav = encode_wav(16000, 1, samples)
+                payloads.append(wav[:10] if did % 13 == 0 else wav)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return decode_audio(payloads)
+
+
+_SQL_AUDIO_DECODE_DUCK = """
+WITH p AS (SELECT doc_id, (64 + doc_id % 64) AS n, text,
+                  (length(repeat(text, 4)) < (64 + doc_id % 64)
+                   OR regexp_matches(text, '[^\\x00-\\x7f]')) AS bad
+           FROM documents),
+s AS (SELECT doc_id, n, bad,
+             substr(repeat(text, 4), 1, n::INT) AS seg FROM p),
+q AS (SELECT doc_id, n, seg,
+             CASE WHEN bad THEN 'error:unsupported'
+                  WHEN doc_id % 13 = 0 THEN 'error:unsupported'
+                  ELSE 'ok' END AS status
+      FROM s)
+SELECT doc_id, status,
+       CAST(CASE WHEN status = 'ok' THEN 16000 ELSE 0 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN status = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS channels,
+       CAST(CASE WHEN status = 'ok' THEN n ELSE 0 END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN status = 'ok' THEN
+         list_sum(list_transform(range(1, n::INT + 1),
+           i -> ((ascii(substr(seg, i, 1)) * 37) % 2001 - 1000)
+              * ((ascii(substr(seg, i, 1)) * 37) % 2001 - 1000)))
+         ELSE 0 END AS BIGINT) AS sum_sq
+FROM q
+"""
+
+
 def _q_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.multimodal import resize_decoded
 
@@ -2016,6 +2172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "image_decode": _q_image_decode,
         "image_decode_png": _q_image_decode_png,
+        "image_decode_bmp": _q_image_decode_bmp,
+        "image_decode_gif": _q_image_decode_gif,
+        "audio_decode": _q_audio_decode,
         "image_resize_nn": _q_image_resize_nn,
         # relational demonstrations
         "tpch_q1": _sql_query(_SQL_TPCH_Q1, "lineitem"),
@@ -2092,6 +2251,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
         "image_decode": _SQL_IMG_DECODE_DUCK,
         "image_decode_png": _SQL_IMG_DECODE_PNG_DUCK,
+        "image_decode_bmp": _SQL_IMG_DECODE_BMP_DUCK,
+        "image_decode_gif": _SQL_IMG_DECODE_GIF_DUCK,
+        "audio_decode": _SQL_AUDIO_DECODE_DUCK,
         "image_resize_nn": _SQL_IMG_RESIZE_NN_DUCK,
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,

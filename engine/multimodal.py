@@ -255,6 +255,345 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, channels, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# BMP (new in r3): REAL decode of 24-bit uncompressed Windows bitmaps — the
+# other lossless raster format real crawls carry. Rows are stored bottom-up
+# and padded to 4 bytes; output is row-major top-down RGB (BMP stores BGR —
+# swapped on decode so all decoders share one pixel convention).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, pixels_rgb: bytes) -> bytes:
+    """Minimal BI_RGB 24-bit BMP encoder (fixture twin of decode_bmp)."""
+    if len(pixels_rgb) != width * height * 3:
+        raise ValueError("pixel buffer does not match dimensions")
+    pad = (-(width * 3)) % 4
+    raster = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = pixels_rgb[r * width * 3 : (r + 1) * width * 3]
+        for c in range(width):  # RGB -> BGR
+            raster += row[c * 3 : c * 3 + 3][::-1]
+        raster += b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster),
+                    2835, 2835, 0, 0)
+    return header + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decode of a BI_RGB 24-bit BMP. Returns (w, h, 3, rgb_bytes)
+    row-major top-down. Raises ImageDecodeError on malformed input."""
+    if payload[:2] != b"BM":
+        raise ImageDecodeError("unsupported: not a BMP payload")
+    if len(payload) < 54:
+        raise ImageDecodeError("truncated header")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ImageDecodeError(f"unsupported header size {hdr_size}")
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if w <= 0 or h == 0:
+        raise ImageDecodeError("non-positive dimensions")
+    if bpp != 24 or compression != 0:
+        raise ImageDecodeError(f"unsupported bpp/compression {bpp}/{compression}")
+    top_down = h < 0
+    h = abs(h)
+    pad = (-(w * 3)) % 4
+    need = (w * 3 + pad) * h
+    raster = payload[data_off : data_off + need]
+    if len(raster) < need:
+        raise ImageDecodeError(f"truncated raster: {len(raster)}/{need} bytes")
+    out = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    stride = w * 3 + pad
+    for r in rows:
+        row = raster[r * stride : r * stride + w * 3]
+        for c in range(w):  # BGR -> RGB
+            out += row[c * 3 : c * 3 + 3][::-1]
+    return w, h, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF (new in r3): REAL decode of the lossless palette web format — LZW
+# decompression per the GIF89a spec (variable code width, clear/end codes,
+# width grows when the dictionary reaches 2^width, 12-bit cap), global or
+# local color table, extensions skipped. The encoder is a true LZW
+# compressor whose code widths are driven by a SIMULATED decoder state, so
+# the bitstream is correct against any spec decoder by construction (the
+# classic width off-by-one cannot creep in).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    emitted: list[tuple[int, int]] = []  # (code, width at emission)
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = end + 1
+    # simulated decoder: width + entries added; the decoder adds one entry
+    # per received code starting from its SECOND post-clear code, and widens
+    # when its next slot reaches 2^width (cap 12)
+    dec_width, dec_next, n_since_clear = mcs + 1, end + 1, 0
+
+    def emit(code: int) -> None:
+        nonlocal dec_width, dec_next, n_since_clear
+        emitted.append((code, dec_width))
+        if code == clear:
+            dec_width, dec_next, n_since_clear = mcs + 1, end + 1, 0
+            return
+        n_since_clear += 1
+        if n_since_clear >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << dec_width) and dec_width < 12:
+                dec_width += 1
+
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = end + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    # pack LSB-first
+    out = bytearray()
+    acc = nbits = 0
+    for code, width in emitted:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(1 << mcs)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ImageDecodeError("truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(1 << mcs)}
+            next_code, width, prev = end + 1, mcs + 1, None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code not in table:
+                raise ImageDecodeError("bad LZW code")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ImageDecodeError("bad LZW code")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(width: int, height: int, palette: bytes, indices: list[int]) -> bytes:
+    """Minimal GIF89a encoder: one frame, global color table, real LZW.
+    ``palette`` is 3·2^k RGB bytes (k in 1..8); indices index into it."""
+    import math
+
+    n_colors = len(palette) // 3
+    k = max(1, math.ceil(math.log2(n_colors)))
+    if len(palette) != 3 * (1 << k) or n_colors != (1 << k):
+        raise ValueError("palette must hold a power-of-two color count")
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    mcs = max(2, k)  # LZW min code size (spec: >= 2)
+    lzw = _lzw_encode(indices, mcs)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | ((k - 1) << 4) | (k - 1), 0, 0)
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([mcs]) + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL decode of a non-interlaced GIF87a/89a frame: LZW decompression
+    + palette mapping. Returns (w, h, 3, rgb_bytes). Raises ImageDecodeError
+    on malformed input."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("unsupported: not a GIF payload")
+    if len(payload) < 13:
+        raise ImageDecodeError("truncated header")
+    packed = payload[10]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        if len(gct) < n:
+            raise ImageDecodeError("truncated color table")
+        pos += n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ImageDecodeError(f"unsupported block 0x{b0:02x}")
+        if pos + 10 > len(payload):
+            raise ImageDecodeError("truncated image descriptor")
+        _, _, w, h, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        if w <= 0 or h <= 0:
+            raise ImageDecodeError("non-positive dimensions")
+        if ipacked & 0x40:
+            raise ImageDecodeError("unsupported interlaced GIF")
+        ct = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            ct = payload[pos : pos + n]
+            if len(ct) < n:
+                raise ImageDecodeError("truncated color table")
+            pos += n
+        if not ct:
+            raise ImageDecodeError("missing color table")
+        if pos >= len(payload):
+            raise ImageDecodeError("truncated LZW stream")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ImageDecodeError(f"bad LZW min code size {mcs}")
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) < ln:
+                raise ImageDecodeError("truncated LZW stream")
+            lzw += chunk
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ImageDecodeError("truncated LZW stream")
+        pos += 1  # block terminator
+        indices = _lzw_decode(bytes(lzw), mcs)
+        if len(indices) < w * h:
+            raise ImageDecodeError(f"truncated raster: {len(indices)}/{w * h} px")
+        n_colors = len(ct) // 3
+        out = bytearray()
+        for idx in indices[: w * h]:
+            if idx >= n_colors:
+                raise ImageDecodeError("palette index out of range")
+            out += ct[idx * 3 : idx * 3 + 3]
+        return w, h, 3, bytes(out)
+    raise ImageDecodeError("truncated stream")
+
+
+# ---------------------------------------------------------------------------
+# WAV (new in r3): REAL audio decode — RIFF/WAVE PCM header walk + exact
+# integer sample statistics, upgrading the audio modality from "opaque
+# bytes + stub" to a live decode path (16-bit PCM; sum of squares stays in
+# BIGINT, so the oracle can recompute it exactly from the construction).
+# ---------------------------------------------------------------------------
+
+
+class AudioDecodeError(ValueError):
+    """Malformed audio payload (bad magic/header/truncated samples)."""
+
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (fixture twin of decode_wav)."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL decode of 16-bit PCM WAV: returns (sample_rate, channels,
+    n_samples, sum_sq) with sum_sq the exact integer sum of squared
+    samples. Raises AudioDecodeError on malformed input."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioDecodeError("unsupported: not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise AudioDecodeError("truncated chunk")
+        if tag == b"fmt ":
+            if ln < 16:
+                raise AudioDecodeError("truncated fmt chunk")
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1:
+                raise AudioDecodeError(f"unsupported format code {fmt_code}")
+            if bits != 16:
+                raise AudioDecodeError(f"unsupported bit depth {bits}")
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise AudioDecodeError("truncated stream")
+    if len(data) % 2:
+        raise AudioDecodeError("odd data length for 16-bit samples")
+    n = len(data) // 2
+    sum_sq = 0
+    for i in range(n):
+        (s,) = struct.unpack_from("<h", data, i * 2)
+        sum_sq += s * s
+    return rate, channels, n, sum_sq
+
+
 def decode_image(payload: bytes):
     """Decode an image payload by magic byte dispatch.
 
@@ -278,12 +617,17 @@ def decode_image(payload: bytes):
 
 
 def _decode_raster(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Gate-safe dispatch: PNM or PNG by magic, ImageDecodeError otherwise
-    (never NotImplementedError — batch decode emits error rows, not raises)."""
+    """Gate-safe dispatch: PNM / PNG / BMP / GIF by magic, ImageDecodeError
+    otherwise (never NotImplementedError — batch decode emits error rows,
+    not raises)."""
     if payload[:2] in _PNM_CHANNELS:
         return decode_pnm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise ImageDecodeError("unsupported: unknown image magic")
 
 
@@ -311,6 +655,37 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                              "n_pixel_bytes", "pixel_sha"), vals):
                 rows[k].append(v)
         yield pd.DataFrame(rows)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, status string, sample_rate bigint, channels bigint, "
+    "n_samples bigint, sum_sq bigint"
+)
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in
+                ("doc_id", "status", "sample_rate", "channels",
+                 "n_samples", "sum_sq")}
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                rate, ch, n, ss = decode_wav(bytes(p or b""))
+                vals = ("ok", rate, ch, n, ss)
+            except AudioDecodeError as e:
+                vals = (f"error:{str(e).split(':')[0]}", 0, 0, 0, 0)
+            rows["doc_id"].append(doc_id)
+            for k, v in zip(("status", "sample_rate", "channels",
+                             "n_samples", "sum_sq"), vals):
+                rows[k].append(v)
+        yield pd.DataFrame(rows)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> REAL decoded 16-bit PCM WAV metadata +
+    exact integer sum of squared samples. Corrupt payloads become
+    status='error:*' rows (S1 convention)."""
+    return df.mapInPandas(_audio_batches, schema=AUDIO_SCHEMA)
 
 
 def decode_images(df: DataFrame) -> DataFrame:

@@ -220,3 +220,109 @@ def test_decode_images_dispatches_png(spark):
     assert got[1]["status"] == "ok" and got[2]["status"] == "ok"
     assert got[1]["pixel_sha"] == got[2]["pixel_sha"]
     assert got[3]["status"] == "error:truncated chunk"
+
+
+# --- BMP / GIF / WAV: real lossless decode paths (r3) ---
+
+from engine.multimodal import (  # noqa: E402
+    AudioDecodeError,
+    decode_audio,
+    decode_bmp,
+    decode_gif,
+    decode_wav,
+    encode_bmp,
+    encode_gif,
+    encode_wav,
+)
+
+
+def test_bmp_roundtrip_and_padding():
+    for w, h in ((3, 2), (4, 3), (1, 1)):  # odd widths exercise row padding
+        pix = bytes((i * 11) % 256 for i in range(w * h * 3))
+        assert decode_bmp(encode_bmp(w, h, pix)) == (w, h, 3, pix)
+
+
+def test_bmp_corrupt_rejected():
+    with pytest.raises(ImageDecodeError, match="truncated header"):
+        decode_bmp(b"BM" + b"\x00" * 10)
+    good = encode_bmp(3, 2, bytes(18))
+    with pytest.raises(ImageDecodeError, match="truncated raster"):
+        decode_bmp(good[: len(good) - 4])
+    with pytest.raises(ImageDecodeError, match="unsupported"):
+        decode_bmp(b"XX" + good[2:])
+
+
+def test_gif_roundtrip_real_lzw():
+    pal = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
+    for w, h in ((4, 3), (11, 7)):
+        ids = [(i * 5 + i // 3) % 8 for i in range(w * h)]
+        got = decode_gif(encode_gif(w, h, pal, ids))
+        exp = b"".join(pal[i * 3 : i * 3 + 3] for i in ids)
+        assert got == (w, h, 3, exp)
+
+
+def test_gif_dictionary_growth_through_width_changes():
+    """A long low-entropy stream forces the LZW dictionary through several
+    code-width increases — the classic off-by-one trap; spec decoder and
+    simulated-state encoder must stay in lockstep."""
+    pal = bytes(v for i in range(4) for v in (10 + i * 30,) * 3)
+    w, h = 64, 64
+    ids = [(i // 7) % 4 for i in range(w * h)]
+    got = decode_gif(encode_gif(w, h, pal, ids))
+    assert got[3] == b"".join(pal[i * 3 : i * 3 + 3] for i in ids)
+
+
+def test_gif_corrupt_rejected():
+    pal = bytes(v for i in range(4) for v in (10 + i * 30,) * 3)
+    gif = encode_gif(3, 2, pal, [0, 1, 2, 3, 0, 1])
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        decode_gif(gif[:12])
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        decode_gif(gif[: len(gif) - 3])
+    # interlace flag set in the image descriptor
+    broken = bytearray(gif)
+    # image descriptor starts after header(13) + gct(12): 0x2C then 9 bytes
+    assert broken[25] == 0x2C
+    broken[25 + 9] |= 0x40
+    with pytest.raises(ImageDecodeError, match="interlaced"):
+        decode_gif(bytes(broken))
+
+
+def test_wav_roundtrip_and_corruption():
+    samples = [(i * 37) % 2001 - 1000 for i in range(300)]
+    assert decode_wav(encode_wav(16000, 1, samples)) == (
+        16000, 1, 300, sum(s * s for s in samples),
+    )
+    with pytest.raises(AudioDecodeError, match="unsupported"):
+        decode_wav(b"RIFFxxxxNOPE")
+    wav = encode_wav(8000, 2, samples)
+    with pytest.raises(AudioDecodeError, match="truncated"):
+        decode_wav(wav[: len(wav) - 5])
+
+
+def test_decode_images_dispatches_bmp_and_gif(spark):
+    pal = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
+    pix = bytes(range(18))
+    bmp = encode_bmp(3, 2, pix)
+    gif = encode_gif(3, 2, pal, [0, 1, 2, 3, 4, 5])
+    rows = spark.createDataFrame(
+        [(1, bmp), (2, gif), (3, bmp[:20])], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_images(rows).collect()}
+    assert got[1]["status"] == "ok"
+    assert got[1]["pixel_sha"] == hashlib.sha256(pix).hexdigest()
+    assert got[2]["status"] == "ok" and got[2]["n_pixel_bytes"] == 18
+    assert got[3]["status"] == "error:truncated header"
+
+
+def test_decode_audio_stage(spark):
+    samples = [100, -100, 500]
+    wav = encode_wav(44100, 1, samples)
+    rows = spark.createDataFrame(
+        [(1, wav), (2, b"NOTAUDIO")], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_audio(rows).collect()}
+    assert got[1]["status"] == "ok"
+    assert (got[1]["sample_rate"], got[1]["n_samples"]) == (44100, 3)
+    assert got[1]["sum_sq"] == sum(s * s for s in samples)
+    assert got[2]["status"] == "error:unsupported"
