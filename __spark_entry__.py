@@ -751,11 +751,26 @@ def _mh_bands(cast: str) -> str:
     return ("\n  UNION ALL\n".join(rows))
 
 
-_MINHASH_PAIRS_TAIL = """
+# LSH bucket cap (r3): a degenerate band key shared by B documents emits
+# B² candidate pairs — one pathological bucket (boilerplate-only docs, empty
+# shingle sets hashing alike) can dominate the whole join at corpus scale.
+# Standard practice is to drop oversized buckets (their members are caught
+# by the other bands or are junk); the cap is mirrored in the DuckDB oracle
+# so results stay hash-equal, and a planted 60-clone fixture pins the
+# capped path in pytest. The oversized set is a tiny aggregate on the SAME
+# (band, key) partitioning as the join — no extra corpus scan or shuffle.
+_LSH_BUCKET_CAP = 50
+_MINHASH_PAIRS_TAIL = f"""
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id
+  AND NOT EXISTS (SELECT 1 FROM oversized o
+                  WHERE o.band = a.band AND o.key = a.key)
 """
+_MINHASH_OVERSIZED_CTE = (
+    f", oversized AS (SELECT band, key FROM bands GROUP BY band, key "
+    f"HAVING count(*) > {_LSH_BUCKET_CAP})\n"
+)
 
 # Spark side: the banded self-join must be a SHUFFLE join, never broadcast.
 # Both sides are the SAME subtree, so shuffle join canonicalizes both
@@ -782,6 +797,7 @@ _MINHASH_FAST_PAIRS = (
     + f", sig AS (SELECT doc_id, {_MINHASH_FAST_SIG_COLS} FROM s)\n"
     + f", bands AS (SELECT doc_id, bk.band AS band, bk.key AS key FROM sig\n"
     + f"            LATERAL VIEW explode(array({_MH_BAND_STRUCTS})) t AS bk)\n"
+    + _MINHASH_OVERSIZED_CTE
     + _MINHASH_PAIRS_TAIL_SPARK
 )
 
@@ -800,6 +816,7 @@ _MINHASH_SIG_DUCK = _MINHASH_DUCK_CTES + "SELECT * FROM sig"
 _MINHASH_PAIRS_DUCK = (
     _MINHASH_DUCK_CTES
     + ", bands AS (\n" + _mh_bands("%s::VARCHAR") + ")\n"
+    + _MINHASH_OVERSIZED_CTE
     + _MINHASH_PAIRS_TAIL
 )
 
@@ -1147,11 +1164,15 @@ def _ann_lsh_sql(dialect: str) -> str:
     # round tiny negative cosines to differently-signed zeros otherwise.
     return f"""
 WITH e AS ({e_cte}),
-bands AS ({bands_cte})
+bands AS ({bands_cte}),
+oversized AS (SELECT band, key FROM bands GROUP BY band, key
+              HAVING count(*) > {_LSH_BUCKET_CAP})
 SELECT {hint}DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
        CAST(round({cosine}, 4) + 0 AS DOUBLE) AS sim_r
 FROM bands a JOIN bands c
   ON a.band = c.band AND a.key = c.key AND a.vec_id < c.vec_id
+WHERE NOT EXISTS (SELECT 1 FROM oversized o
+                  WHERE o.band = a.band AND o.key = a.key)
 """
 
 

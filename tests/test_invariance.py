@@ -99,3 +99,41 @@ def test_cc_leaves_no_persisted_frames(spark):
     jsc = spark.sparkContext._jsc.sc()
     cached = jsc.getPersistentRDDs()
     assert cached.isEmpty(), f"{cached.size()} persisted RDDs leaked"
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark, tmp_path):
+    """r3 scale guard: a band key shared by B docs emits B² candidate pairs
+    — one degenerate bucket (here 60 clones) must be dropped by the bucket
+    cap while ordinary near-dup pairs are still found; the DuckDB oracle
+    applies the same cap (hash-parity asserted on the planted corpus)."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    clones = [(i, base) for i in range(60)]  # > _LSH_BUCKET_CAP, one bucket
+    near = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    ]
+    lone = [(200, "completely different text with nothing shared at all here now")]
+    docs_dir = str(tmp_path)
+    spark.createDataFrame(
+        clones + near + lone, "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{docs_dir}/documents.parquet", mode="overwrite")
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in em.queries()["minhash_lsh_pairs"](spark, docs_dir).collect()
+    }
+    assert (100, 101) in got, "ordinary near-dup pair lost"
+    assert not any(a < 60 and b < 60 for a, b in got), (
+        "degenerate 60-clone bucket leaked pairs past the cap"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{docs_dir}/documents.parquet/*.parquet')"
+    )
+    oracle = {tuple(r) for r in con.execute(em.oracle_sql()["minhash_lsh_pairs"]).fetchall()}
+    assert got == oracle
