@@ -49,11 +49,23 @@ def sniff_charset(data: bytes) -> str | None:
 def decode_html(data: bytes) -> str:
     """Decode raw page bytes to text.
 
-    Order: (1) strict UTF-8; (2) declared charset, strict; (3) latin-1
-    (total — every byte sequence decodes). Deterministic by construction.
+    Order: (0) transparent gzip/zlib decompression when the payload starts
+    with the gzip magic (WARC-style crawls often store per-record
+    compressed bodies; a corrupt stream falls through to byte decoding of
+    the raw payload, which the segmenter then treats as any other
+    non-HTML noise — error-row discipline, never a raise); (1) strict
+    UTF-8; (2) declared charset, strict; (3) latin-1 (total — every byte
+    sequence decodes). Deterministic by construction.
     """
     if not data:
         return ""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError):
+            pass  # corrupt member: fall through to raw-byte decoding
     try:
         return data.decode("utf-8")
     except UnicodeDecodeError:

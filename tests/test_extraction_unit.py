@@ -211,3 +211,29 @@ def test_fallback_tie_breaks_to_lowest_block_id():
     blocks = segment_blocks(html)
     assert blocks[0].score == blocks[1].score
     assert best_block(blocks).block_id == 0
+
+
+def test_gzip_payload_decodes_transparently():
+    """WARC-style per-record gzip bodies (r3): gzip(html) extracts byte-
+    identically to the raw html; a corrupt gzip member falls through to
+    raw-byte decoding (error-row discipline — never raises)."""
+    import gzip
+
+    from extraction.core import extract_document
+    from extraction.html_clean import decode_html
+
+    html = (
+        "<html><body><main><p>"
+        + "content paragraph with enough characters to pass the keep rule "
+        * 3
+        + "</p></main></body></html>"
+    ).encode()
+    plain = extract_document("u", html, None)
+    gz = extract_document("u", gzip.compress(html), None)
+    assert gz.extracted_text == plain.extracted_text
+    assert gz.status == plain.status == "ok"
+    # corrupt member: magic present, stream garbage — decodes raw, no raise
+    corrupt = b"\x1f\x8b" + b"\x00garbage" * 10
+    assert isinstance(decode_html(corrupt), str)
+    r = extract_document("u", corrupt, None)
+    assert r.status in ("empty", "ok") or r.status.startswith("error:")

@@ -1,0 +1,67 @@
+"""Source-agnosticism (S1): the JSONL and CSV readers produce the same
+frames as the parquet path — extraction output is byte-identical across
+sources, and event aggregates match exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine import sources
+from engine.pipeline import run_fused
+
+
+def test_jsonl_pages_extract_byte_identical(spark, pages_unit_path, tmp_path):
+    pages_pq = spark.read.parquet(pages_unit_path)
+    jl = str(tmp_path / "pages_jsonl")
+    sources.write_pages_jsonl(pages_pq, jl)
+    pages_jl = sources.read_pages_jsonl(spark, jl)
+
+    def by_url(df):
+        return {
+            r["url"]: (r["extracted_text"], r["status"], r["n_kept"])
+            for r in run_fused(df).collect()
+        }
+
+    a, b = by_url(pages_pq), by_url(pages_jl)
+    assert a == b and len(a) == 64
+
+
+def test_jsonl_binary_roundtrip_exact(spark, pages_unit_path, tmp_path):
+    """base64 interchange must round-trip the raw html bytes exactly
+    (sha-compared JVM-side)."""
+    pages_pq = spark.read.parquet(pages_unit_path)
+    jl = str(tmp_path / "pages_jsonl2")
+    sources.write_pages_jsonl(pages_pq, jl)
+    pages_jl = sources.read_pages_jsonl(spark, jl)
+    sha = lambda df: {  # noqa: E731
+        r["url"]: r["h"]
+        for r in df.select("url", F.sha2("html", 256).alias("h")).collect()
+    }
+    assert sha(pages_pq) == sha(pages_jl)
+
+
+def test_csv_events_aggregate_matches_parquet(spark, tmp_path):
+    ev_pq = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    csv = str(tmp_path / "events_csv")
+    (ev_pq.select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "value",
+    ).write.option("header", "true").mode("overwrite").csv(csv))
+    ev_csv = sources.read_events_csv(spark, csv)
+
+    def agg(df):
+        return {
+            (r["event_type"], r["n"], r["sv"])
+            for r in df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sv"),
+            )
+            .collect()
+        }
+
+    assert agg(ev_pq) == agg(ev_csv)
+    # timestamps parsed identically (UTC-pinned session)
+    a = ev_pq.select(F.max(F.unix_timestamp("ts")).alias("m")).first()["m"]
+    b = ev_csv.select(F.max(F.unix_timestamp("ts")).alias("m")).first()["m"]
+    assert a == b
