@@ -1643,6 +1643,60 @@ FROM st
 """
 
 
+def _q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG gate query (r3): REAL baseline JPEG decode (engine/jpeg —
+    marker walk, Huffman entropy decode, dequant, IDCT, crop). JPEG is
+    lossy, so the hash-pinnable construction is the float-EXACT subset:
+    DC-only grayscale bitstreams built at the COEFFICIENT level (no forward
+    DCT), where decode must recover a flat value computable in SQL —
+    v = 32 + doc_id % 95, every pixel chr(v). The general path (AC
+    coefficients, 4:2:0 color, restarts) is pinned in tests/test_jpeg.py
+    against an independent textbook IDCT. Every 17th payload truncated →
+    deterministic error rows."""
+    from engine.jpeg import build_jpeg
+    from engine.multimodal import decode_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 8, 3 + did % 5
+                v = 32 + did % 95  # printable ASCII so the oracle can chr()
+                blk = [v - 128] + [0] * 63  # q0 = 8 -> IDCT exact
+                mcus = ((w + 7) // 8) * ((h + 7) // 8)
+                jp = build_jpeg(w, h, [8] * 64, [[list(blk)] * mcus])
+                ids.append(did)
+                payloads.append(jp[:8] if did % 17 == 0 else jp)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return decode_images(payloads)
+
+
+_SQL_IMG_DECODE_JPEG_DUCK = f"""
+WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h,
+                  32 + doc_id % 95 AS v FROM documents),
+st AS (SELECT doc_id, w, h, v,
+              CASE WHEN doc_id % 17 = 0 THEN 'error:truncated segment'
+                   ELSE 'ok' END AS status
+       FROM p)
+SELECT doc_id, status,
+       CAST(CASE WHEN status = 'ok' THEN w ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN status = 'ok' THEN h ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN status = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS channels,
+       CAST(CASE WHEN status = 'ok' THEN w * h ELSE 0 END AS BIGINT)
+         AS n_pixel_bytes,
+       CASE WHEN status = 'ok'
+            THEN sha256(repeat(chr(v::INT), (w * h)::INT)) ELSE '' END AS pixel_sha
+FROM st
+"""
+
+
 def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAV gate query (r3): REAL 16-bit PCM audio decode — RIFF chunk walk
     + exact integer sum of squared samples (engine.multimodal.decode_wav).
@@ -2195,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_png": _q_image_decode_png,
         "image_decode_bmp": _q_image_decode_bmp,
         "image_decode_gif": _q_image_decode_gif,
+        "image_decode_jpeg": _q_image_decode_jpeg,
         "audio_decode": _q_audio_decode,
         "image_resize_nn": _q_image_resize_nn,
         # relational demonstrations
@@ -2274,6 +2329,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_png": _SQL_IMG_DECODE_PNG_DUCK,
         "image_decode_bmp": _SQL_IMG_DECODE_BMP_DUCK,
         "image_decode_gif": _SQL_IMG_DECODE_GIF_DUCK,
+        "image_decode_jpeg": _SQL_IMG_DECODE_JPEG_DUCK,
         "audio_decode": _SQL_AUDIO_DECODE_DUCK,
         "image_resize_nn": _SQL_IMG_RESIZE_NN_DUCK,
         "tpch_q1": _SQL_TPCH_Q1,

@@ -1,0 +1,474 @@
+"""Pure-Python baseline JPEG (SOF0) decoder + a coefficient-level bitstream
+builder for its validation — no media library.
+
+Decoder scope (the baseline subset that covers the bulk of real crawl
+JPEGs): SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS marker walk, canonical Huffman
+entropy decoding with DC prediction and restart markers, dequantization,
+zigzag ordering, 8x8 IDCT (separable row/column), component planes with
+sampling factors 1 or 2 (4:4:4, 4:2:2, 4:2:0), nearest-neighbor chroma
+upsampling, JFIF YCbCr->RGB with clamping, and edge-block cropping.
+Progressive (SOF2), arithmetic coding, and 12-bit depth raise
+ImageDecodeError (-> error rows through the gate).
+
+Validation strategy (tests/test_jpeg.py): JPEG is lossy, so instead of an
+encode->decode pixel roundtrip the builder writes bitstreams from CHOSEN
+quantized coefficients (no forward DCT anywhere), and the expected pixels
+come from an INDEPENDENT textbook 2-D IDCT double sum — two unrelated IDCT
+implementations agreeing within +/-1 ulp-rounding validates the whole
+entropy/dequant/IDCT/upsample/color pipeline without a reference decoder.
+DC-only constructions are float-exact end to end, which is what the gate
+query hash-pins against its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# local twin of engine.multimodal.ImageDecodeError to avoid a cycle; the
+# multimodal dispatch re-raises through its own type
+class JpegError(ValueError):
+    """Malformed or out-of-scope JPEG payload."""
+
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def idct_block(coeffs: list[float]) -> list[int]:
+    """Separable 8x8 inverse DCT + level shift + clamp (natural order in,
+    row-major samples out)."""
+    # columns
+    tmp = [0.0] * 64
+    for x in range(8):
+        col = [coeffs[v * 8 + x] for v in range(8)]
+        for y in range(8):
+            tmp[y * 8 + x] = sum(
+                _C[v] * col[v] * _COS[v][y] for v in range(8)
+            ) / 2
+    out = [0] * 64
+    for y in range(8):
+        row = tmp[y * 8 : y * 8 + 8]
+        for x in range(8):
+            s = sum(_C[u] * row[u] * _COS[u][x] for u in range(8)) / 2
+            v = int(round(s)) + 128
+            out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
+    return out
+
+
+def idct_block_reference(coeffs: list[float]) -> list[int]:
+    """Independent textbook direct 2-D IDCT double sum (validation twin)."""
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (
+                        _C[u] * _C[v] * coeffs[v * 8 + u]
+                        * _COS[u][x] * _COS[v][y]
+                    )
+            val = int(round(s / 4)) + 128
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables: simple uniform-length canonical tables (carried in the
+# stream's DHT segments, so ANY spec decoder accepts them): 12 DC category
+# symbols at 4 bits, 162 AC run/size symbols at 9 bits (all-ones codes
+# unused — no marker emulation).
+# ---------------------------------------------------------------------------
+
+DC_SYMBOLS = list(range(12))
+AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical(bits_per_symbol: int, symbols: list[int]):
+    """(BITS counts list[16], symbols, symbol->(code,len) map)."""
+    counts = [0] * 16
+    counts[bits_per_symbol - 1] = len(symbols)
+    codes = {}
+    code = 0
+    for i, sym in enumerate(symbols):
+        codes[sym] = (code + i, bits_per_symbol)
+    return counts, symbols, codes
+
+
+DC_BITS, _, DC_CODES = _canonical(4, DC_SYMBOLS)
+AC_BITS, _, AC_CODES = _canonical(9, AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _encode_coeff_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def build_jpeg(
+    width: int,
+    height: int,
+    qtable: list[int],
+    component_coeffs: list[list[list[int]]],
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Assemble a baseline JPEG from CHOSEN quantized coefficient blocks.
+
+    ``component_coeffs[c]`` = list of 64-int zigzag-order quantized blocks
+    for component c, in MCU scan order. 1 component = grayscale, 3 = YCbCr.
+    ``sampling`` gives (h, v) factors per component (default all (1, 1)).
+    No forward DCT: what goes in is exactly what a decoder must recover
+    before dequantization, which is what makes validation exact."""
+    ncomp = len(component_coeffs)
+    sampling = sampling or [(1, 1)] * ncomp
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    seg(0xDB, bytes([0]) + bytes(qtable[ZIGZAG[i]] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        h, v = sampling[c]
+        sof += bytes([c + 1, (h << 4) | v, 0])
+    seg(0xC0, sof)
+    for cls, (bits, syms) in ((0, (DC_BITS, DC_SYMBOLS)), (1, (AC_BITS, AC_SYMBOLS))):
+        seg(0xC4, bytes([cls << 4]) + bytes(bits) + bytes(syms))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    n_blocks = [len(b) for b in component_coeffs]
+    idx = [0] * ncomp
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for _ in range(mcus_x * mcus_y):
+        for c in range(ncomp):
+            h, v = sampling[c]
+            for _ in range(h * v):
+                if idx[c] >= n_blocks[c]:
+                    raise ValueError("not enough coefficient blocks")
+                blk = component_coeffs[c][idx[c]]
+                idx[c] += 1
+                diff = blk[0] - preds[c]
+                preds[c] = blk[0]
+                s = _category(diff)
+                code, ln = DC_CODES[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(_encode_coeff_bits(diff, s), s)
+                run = 0
+                last_nz = 0
+                for i in range(1, 64):
+                    if blk[i]:
+                        last_nz = i
+                for i in range(1, last_nz + 1):
+                    if blk[i] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = AC_CODES[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _category(blk[i])
+                    code, ln = AC_CODES[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(_encode_coeff_bits(blk[i], s), s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = AC_CODES[0x00]
+                    bw.write(code, ln)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise JpegError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise JpegError("truncated entropy stream")
+                m = self.data[self.pos]
+                self.pos += 1
+                if m != 0x00:
+                    raise JpegError("unexpected marker in entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.n = 0
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], symbols: list[int]):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                k += 1
+                code += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise JpegError("bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG. Returns (width, height, channels,
+    pixel_bytes) — channels 1 (gray) or 3 (RGB)."""
+    if payload[:2] != b"\xff\xd8":
+        raise JpegError("unsupported: not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise JpegError("truncated stream")
+        if payload[pos] != 0xFF:
+            raise JpegError("bad marker alignment")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise JpegError("no scan before EOI")
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + ln]
+        if len(body) < ln - 2:
+            raise JpegError("truncated segment")
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                prec_id = body[p]
+                if prec_id >> 4 != 0:
+                    raise JpegError("unsupported 16-bit quant table")
+                zz = body[p + 1 : p + 65]
+                if len(zz) < 64:
+                    raise JpegError("truncated quant table")
+                tbl = [0] * 64
+                for i in range(64):
+                    tbl[ZIGZAG[i]] = zz[i]
+                qtables[prec_id & 0x0F] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc_th = body[p]
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                syms = list(body[p + 17 : p + 17 + n])
+                if len(syms) < n:
+                    raise JpegError("truncated huffman table")
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _HuffTable(bits, syms)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegError(f"unsupported precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                sh, sv = hv >> 4, hv & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise JpegError(f"unsupported sampling {sh}x{sv}")
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise JpegError("unsupported non-baseline frame (progressive?)")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise JpegError("scan before frame header")
+            ns = body[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            pos += ln
+            return _decode_scan(
+                payload, pos, frame, scan_sel, qtables, huff, restart_interval
+            )
+        # APPn / COM / others: skip
+        pos += ln
+
+
+def _decode_scan(payload, pos, frame, scan_sel, qtables, huff, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w <= 0 or h <= 0:
+        raise JpegError("non-positive dimensions")
+    ncomp = len(comps)
+    if ncomp not in (1, 3):
+        raise JpegError(f"unsupported component count {ncomp}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        bw = mcus_x * c["h"] * 8
+        bh = mcus_y * c["v"] * 8
+        planes.append(bytearray(bw * bh))
+    sel_by_id = {cs: (td, ta) for cs, td, ta in scan_sel}
+    br = _BitReader(payload[pos:])
+    preds = [0] * ncomp
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align()
+                if (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                ):
+                    br.pos += 2
+                preds = [0] * ncomp
+            for ci, c in enumerate(comps):
+                td, ta = sel_by_id.get(c["id"], (0, 0))
+                dc_tbl = huff.get((0, td))
+                ac_tbl = huff.get((1, ta))
+                q = qtables.get(c["tq"])
+                if dc_tbl is None or ac_tbl is None or q is None:
+                    raise JpegError("missing table for scan")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = [0.0] * 64
+                        s = dc_tbl.decode(br)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            sym = ac_tbl.decode(br)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise JpegError("AC coefficient overflow")
+                            coeffs[ZIGZAG[k]] = (
+                                _extend(br.read_bits(size), size) * q[ZIGZAG[k]]
+                            )
+                            k += 1
+                        samples = idct_block(coeffs)
+                        plane = planes[ci]
+                        pw = mcus_x * c["h"] * 8
+                        ox = (mx * c["h"] + bx) * 8
+                        oy = (my * c["v"] + by) * 8
+                        for yy in range(8):
+                            row = samples[yy * 8 : yy * 8 + 8]
+                            off = (oy + yy) * pw + ox
+                            plane[off : off + 8] = bytes(row)
+            mcu_count += 1
+    if ncomp == 1:
+        c = comps[0]
+        pw = mcus_x * c["h"] * 8
+        out = bytearray()
+        for y in range(h):
+            out += planes[0][y * pw : y * pw + w]
+        return w, h, 1, bytes(out)
+    out = bytearray()
+    pws = [mcus_x * c["h"] * 8 for c in comps]
+    for y in range(h):
+        for x in range(w):
+            yy = planes[0][y * pws[0] + x]  # luma always full-res here
+            cx = [x * comps[i]["h"] // hmax for i in range(3)]
+            cy = [y * comps[i]["v"] // vmax for i in range(3)]
+            cb = planes[1][cy[1] * pws[1] + cx[1]]
+            cr = planes[2][cy[2] * pws[2] + cx[2]]
+            r = yy + 1.402 * (cr - 128)
+            g = yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = yy + 1.772 * (cb - 128)
+            for v in (r, g, b):
+                iv = int(round(v))
+                out.append(0 if iv < 0 else (255 if iv > 255 else iv))
+    return w, h, 3, bytes(out)

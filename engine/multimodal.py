@@ -1,13 +1,14 @@
-"""Multimodal (opaque binary) column plumbing.
+"""Multimodal (opaque binary) column plumbing + REAL media decoders.
 
 Images/audio/video travel as opaque ``binary`` columns with typed metadata
 (SURVEY training-data ops). The Spark-side plumbing — schema, Arrow batch
-shape, ``mapInPandas`` signature, partition behavior — is real and tested;
-the actual media decode is STUBBED: the decode libraries (PIL/ffmpeg/…) are
-not in this container, so ``decode_image`` raises ``NotImplementedError``
-unless PIL is importable, and the feature extractor uses a deterministic
-fake (byte-derived dimensions) so outputs are reproducible and
-oracle-checkable.
+shape, ``mapInPandas`` signature, partition behavior — is real and tested,
+and since r3 the decode itself is REAL for five image formats and one audio
+format, all pure Python with no media library: PNM (PGM/PPM), PNG (zlib +
+scanline unfiltering), BMP (24-bit BI_RGB), GIF (real LZW), baseline JPEG
+(``engine/jpeg``), and 16-bit PCM WAV. Remaining formats (WebP/AVIF, video
+frame extraction) stay behind an import gate with deterministic fakes so
+outputs remain reproducible and oracle-checkable.
 """
 
 from __future__ import annotations
@@ -597,10 +598,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
 def decode_image(payload: bytes):
     """Decode an image payload by magic byte dispatch.
 
-    Uncompressed PNM (PGM/PPM) and compressed PNG both decode for REAL via
-    the pure-Python parsers above — no media library needed, so both paths
-    are live and oracle-checked in this sandbox. Remaining compressed
-    formats (JPEG/WebP/...) require PIL, absent from this container, and
+    PNM, PNG, BMP, GIF (real LZW), and baseline JPEG (engine/jpeg) all
+    decode for REAL via pure-Python parsers — no media library needed; all
+    five paths are live and oracle-checked in this sandbox. Remaining
+    formats (WebP/AVIF/...) require PIL, absent from this container, and
     raise NotImplementedError behind the gate."""
     if payload[:2] in _PNM_CHANNELS:
         return decode_pnm(payload)
@@ -628,6 +629,13 @@ def _decode_raster(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_bmp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from engine.jpeg import JpegError, decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except JpegError as e:
+            raise ImageDecodeError(str(e)) from e
     raise ImageDecodeError("unsupported: unknown image magic")
 
 
