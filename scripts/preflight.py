@@ -75,7 +75,20 @@ def check_testdata():
 
 
 def check_iceberg():
-    return WARN, "no Iceberg runtime jar — parquet-fallback TableIO active (by design in sandbox)"
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    minicat = os.path.join(repo, "dist", "minicat.jar")
+    if os.path.exists(minicat):
+        return OK, (
+            "no Iceberg runtime jar, but dist/minicat.jar present — "
+            "MERGE INTO executes via the in-repo DSv2 catalog; parquet "
+            "fallback remains the path-based default"
+        )
+    return WARN, (
+        "no Iceberg runtime jar and no dist/minicat.jar (run "
+        "scripts/build_minicat.sh) — parquet-fallback TableIO only"
+    )
 
 
 def check_spark_session():
