@@ -300,7 +300,19 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG. Returns (width, height, channels,
-    pixel_bytes) — channels 1 (gray) or 3 (RGB)."""
+    pixel_bytes) — channels 1 (gray) or 3 (RGB). Every malformation —
+    including short segments that would otherwise surface as
+    struct.error/IndexError deep in the parser — raises JpegError, so the
+    batch decode stage can keep its corrupt→error-row contract."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        raise JpegError(f"malformed stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise JpegError("unsupported: not a JPEG payload")
     pos = 2
@@ -385,6 +397,10 @@ def _decode_scan(payload, pos, frame, scan_sel, qtables, huff, restart_interval)
     ncomp = len(comps)
     if ncomp not in (1, 3):
         raise JpegError(f"unsupported component count {ncomp}")
+    if len(scan_sel) != ncomp:
+        # a multi-scan (non-interleaved) baseline file would desync the MCU
+        # loop below — reject loudly rather than decode garbage as ok
+        raise JpegError("unsupported non-interleaved scan")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -460,9 +476,9 @@ def _decode_scan(payload, pos, frame, scan_sel, qtables, huff, restart_interval)
     pws = [mcus_x * c["h"] * 8 for c in comps]
     for y in range(h):
         for x in range(w):
-            yy = planes[0][y * pws[0] + x]  # luma always full-res here
             cx = [x * comps[i]["h"] // hmax for i in range(3)]
             cy = [y * comps[i]["v"] // vmax for i in range(3)]
+            yy = planes[0][cy[0] * pws[0] + cx[0]]  # luma may be subsampled too
             cb = planes[1][cy[1] * pws[1] + cx[1]]
             cr = planes[2][cy[2] * pws[2] + cx[2]]
             r = yy + 1.402 * (cr - 128)

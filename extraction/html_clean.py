@@ -61,11 +61,15 @@ def decode_html(data: bytes) -> str:
         return ""
     if data[:2] == b"\x1f\x8b":
         import gzip
+        import zlib
 
         try:
             data = gzip.decompress(data)
-        except (OSError, EOFError):
-            pass  # corrupt member: fall through to raw-byte decoding
+        except (OSError, EOFError, zlib.error):
+            # corrupt member: bad header raises BadGzipFile (an OSError),
+            # but a VALID header over a corrupt deflate body raises
+            # zlib.error — both fall through to raw-byte decoding
+            pass
     try:
         return data.decode("utf-8")
     except UnicodeDecodeError:

@@ -76,14 +76,29 @@ def check_testdata():
 
 def check_iceberg():
     import os
+    import zipfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     minicat = os.path.join(repo, "dist", "minicat.jar")
     if os.path.exists(minicat):
-        return OK, (
-            "no Iceberg runtime jar, but dist/minicat.jar present — "
-            "MERGE INTO executes via the in-repo DSv2 catalog; parquet "
-            "fallback remains the path-based default"
+        # validate the jar actually carries the catalog class — a stale or
+        # corrupt jar would make get_spark register a catalog that fails at
+        # first use while this check claimed MERGE support
+        try:
+            with zipfile.ZipFile(minicat) as zf:
+                ok_jar = "minicat/MiniCatalog.class" in zf.namelist()
+        except zipfile.BadZipFile:
+            ok_jar = False
+        if ok_jar:
+            return OK, (
+                "no Iceberg runtime jar; dist/minicat.jar well-formed — "
+                "get_spark registers the DSv2 catalog and MERGE INTO "
+                "execution is covered by tests/test_tableio_minicat.py; "
+                "parquet fallback remains the path-based default"
+            )
+        return WARN, (
+            "dist/minicat.jar present but missing minicat/MiniCatalog.class "
+            "— rebuild with scripts/build_minicat.sh"
         )
     return WARN, (
         "no Iceberg runtime jar and no dist/minicat.jar (run "

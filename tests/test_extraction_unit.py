@@ -232,8 +232,17 @@ def test_gzip_payload_decodes_transparently():
     gz = extract_document("u", gzip.compress(html), None)
     assert gz.extracted_text == plain.extracted_text
     assert gz.status == plain.status == "ok"
-    # corrupt member: magic present, stream garbage — decodes raw, no raise
-    corrupt = b"\x1f\x8b" + b"\x00garbage" * 10
-    assert isinstance(decode_html(corrupt), str)
-    r = extract_document("u", corrupt, None)
-    assert r.status in ("empty", "ok") or r.status.startswith("error:")
+    # corrupt member, bad-header branch (BadGzipFile -> OSError): decodes
+    # raw via the latin-1 total fallback, byte-for-byte
+    corrupt_hdr = b"\x1f\x8b" + b"\x00garbage" * 10
+    assert decode_html(corrupt_hdr) == corrupt_hdr.decode("latin-1")
+    # corrupt member, VALID header over a corrupt deflate body (zlib.error
+    # branch — the one a bad-header fixture never reaches): same fall-through
+    good = gzip.compress(html)
+    corrupt_body = bytearray(good)
+    for i in range(12, min(40, len(corrupt_body))):
+        corrupt_body[i] ^= 0xFF
+    corrupt_body = bytes(corrupt_body)
+    assert decode_html(corrupt_body) == corrupt_body.decode("latin-1")
+    r = extract_document("u", corrupt_body, None)
+    assert r.status in ("empty", "ok")  # raw-noise path, never error:raise

@@ -120,3 +120,30 @@ def test_decode_images_dispatches_jpeg(spark):
     assert got[1]["status"] == "ok"
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (10, 6, 1)
     assert got[2]["status"].startswith("error:")
+
+
+def test_malformed_segments_raise_jpeg_error_not_crashes():
+    """Short/garbled segments must surface as JpegError (error rows), not
+    struct.error/IndexError that would kill the Spark task."""
+    bad = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x08",  # short SOF body
+        b"\xff\xd8\xff\xdd\x00\x02",  # empty DRI
+        b"\xff\xd8\xff\xda\x00\x02",  # empty SOS
+        b"\xff\xd8\xff\xc0\x00\x08\x08\x00\x10\x00\x10\x03",  # SOF claims 3 comps, truncated
+    ]
+    for payload in bad:
+        with pytest.raises(JpegError):
+            decode_jpeg(payload)
+
+
+def test_subsampled_luma_decodes_not_crashes():
+    """Y=(1,1) with chroma=(2,2) is unusual but header-legal here; the
+    interleave must index every plane at its own resolution."""
+    q = [8] * 64
+    yb, cbb, crb = ([16] + [0] * 63, [8] + [0] * 63, [-8] + [0] * 63)
+    w, h, c, px = decode_jpeg(
+        build_jpeg(16, 16, q, [[list(yb)], [list(cbb)] * 4, [list(crb)] * 4],
+                   sampling=[(1, 1), (2, 2), (2, 2)])
+    )
+    assert (w, h, c) == (16, 16, 3)
+    assert len(px) == 16 * 16 * 3
