@@ -152,12 +152,15 @@ def build_jpeg(
     qtable: list[int],
     component_coeffs: list[list[list[int]]],
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Assemble a baseline JPEG from CHOSEN quantized coefficient blocks.
 
     ``component_coeffs[c]`` = list of 64-int zigzag-order quantized blocks
     for component c, in MCU scan order. 1 component = grayscale, 3 = YCbCr.
-    ``sampling`` gives (h, v) factors per component (default all (1, 1)).
+    ``sampling`` gives (h, v) factors per component (default all (1, 1));
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs with DC-prediction resets (the path most camera/crawl JPEGs use).
     No forward DCT: what goes in is exactly what a decoder must recover
     before dequantization, which is what makes validation exact."""
     ncomp = len(component_coeffs)
@@ -176,6 +179,8 @@ def build_jpeg(
     seg(0xC0, sof)
     for cls, (bits, syms) in ((0, (DC_BITS, DC_SYMBOLS)), (1, (AC_BITS, AC_SYMBOLS))):
         seg(0xC4, bytes([cls << 4]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00])
@@ -190,7 +195,13 @@ def build_jpeg(
     vmax = max(v for _, v in sampling)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    for _ in range(mcus_x * mcus_y):
+    for mcu_i in range(mcus_x * mcus_y):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw.flush()
+            out.extend(bw.out)
+            bw = _BitWriter()
+            out.extend(bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1) % 8)]))
+            preds = [0] * ncomp
         for c in range(ncomp):
             h, v = sampling[c]
             for _ in range(h * v):
@@ -417,13 +428,21 @@ def _decode_scan(payload, pos, frame, scan_sel, qtables, huff, restart_interval)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # resync: discard pad bits/bytes and scan to the RSTn marker
+                # (spec G.1.1 — padding before a marker is skipped)
                 br.align()
-                if (
-                    br.pos + 1 < len(br.data)
-                    and br.data[br.pos] == 0xFF
-                    and 0xD0 <= br.data[br.pos + 1] <= 0xD7
-                ):
-                    br.pos += 2
+                found = False
+                while br.pos + 1 < len(br.data):
+                    if (
+                        br.data[br.pos] == 0xFF
+                        and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+                    ):
+                        br.pos += 2
+                        found = True
+                        break
+                    br.pos += 1
+                if not found:
+                    raise JpegError("missing restart marker")
                 preds = [0] * ncomp
             for ci, c in enumerate(comps):
                 td, ta = sel_by_id.get(c["id"], (0, 0))

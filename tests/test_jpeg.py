@@ -147,3 +147,32 @@ def test_subsampled_luma_decodes_not_crashes():
     )
     assert (w, h, c) == (16, 16, 3)
     assert len(px) == 16 * 16 * 3
+
+
+def test_restart_markers_reset_dc_prediction():
+    """DRI + RSTn path (most camera/crawl JPEGs use restarts): DC
+    predictors reset at each marker, entropy segments are byte-aligned,
+    and decode matches the no-restart decode of the same coefficients."""
+    q = [8] * 64
+    dcs = [16, -32, 48, 0, 8, -8]  # 6 blocks -> 6x1 MCUs at 48x8
+    blks = [[dc] + [0] * 63 for dc in dcs]
+    plain = decode_jpeg(build_jpeg(48, 8, q, [[list(b) for b in blks]]))
+    for interval in (1, 2, 3):
+        rst = decode_jpeg(
+            build_jpeg(48, 8, q, [[list(b) for b in blks]],
+                       restart_interval=interval)
+        )
+        assert rst == plain, f"interval={interval}"
+
+
+def test_restart_markers_with_ac_coefficients():
+    import random
+
+    random.seed(11)
+    q = [1 + random.randrange(3) for _ in range(64)]
+    blks = [[random.randrange(-15, 16) for _ in range(64)] for _ in range(8)]
+    plain = decode_jpeg(build_jpeg(64, 8, q, [[list(b) for b in blks]]))
+    rst = decode_jpeg(
+        build_jpeg(64, 8, q, [[list(b) for b in blks]], restart_interval=2)
+    )
+    assert rst == plain

@@ -86,3 +86,84 @@ def test_segment_blocks_order_and_bounds(body):
         assert 0 < b.n_chars <= CHUNK_CHARS
         assert 0 <= b.n_link_chars <= b.n_chars
         assert b.text == " ".join(b.text.split())  # collapsed
+
+
+# --- media codec properties (r3): lossless formats must round-trip any
+# pixel content; decoders must never raise anything but their typed error
+# on arbitrary bytes (the corrupt->error-row contract's foundation) ---
+
+from engine.multimodal import (  # noqa: E402
+    AudioDecodeError,
+    ImageDecodeError,
+    decode_bmp,
+    decode_gif,
+    decode_png,
+    decode_pnm,
+    decode_wav,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    encode_wav,
+)
+from engine.jpeg import JpegError, decode_jpeg  # noqa: E402
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 9),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, channels, seed, ft):
+    pix = bytes((seed + i * 31) % 256 for i in range(w * h * channels))
+    assert decode_png(
+        encode_png(w, h, channels, pix, filter_of_row=lambda r: (ft + r) % 5)
+    ) == (w, h, channels, pix)
+
+
+@given(st.integers(1, 12), st.integers(1, 9), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    pix = bytes((seed + i * 7) % 256 for i in range(w * h * 3))
+    assert decode_bmp(encode_bmp(w, h, pix)) == (w, h, 3, pix)
+
+
+@given(st.integers(1, 12), st.integers(1, 9), st.integers(1, 3),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(w, h, kbits, seed):
+    n_colors = 1 << kbits
+    pal = bytes((seed + i * 13) % 128 for i in range(3 * n_colors))
+    ids = [(seed + i * i) % n_colors for i in range(w * h)]
+    exp = b"".join(pal[i * 3 : i * 3 + 3] for i in ids)
+    assert decode_gif(encode_gif(w, h, pal, ids)) == (w, h, 3, exp)
+
+
+@given(st.integers(1, 200), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(n, seed):
+    samples = [((seed + i * 997) % 65536) - 32768 for i in range(n)]
+    r, ch, m, ss = decode_wav(encode_wav(8000, 1, samples))
+    assert (r, ch, m, ss) == (8000, 1, n, sum(s * s for s in samples))
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_decoders_raise_only_typed_errors_on_garbage(payload):
+    """Arbitrary bytes (optionally prefixed with each format's magic) must
+    produce the format's typed error or a decode — never struct.error,
+    IndexError, zlib.error or friends leaking to the Spark stage."""
+    for prefix, fn, err in (
+        (b"\x89PNG\r\n\x1a\n", decode_png, ImageDecodeError),
+        (b"BM", decode_bmp, ImageDecodeError),
+        (b"GIF89a", decode_gif, ImageDecodeError),
+        (b"\xff\xd8", decode_jpeg, JpegError),
+        (b"RIFF\x00\x00\x00\x00WAVE", decode_wav, AudioDecodeError),
+        (b"P6\n", decode_pnm, ImageDecodeError),
+    ):
+        try:
+            fn(prefix + payload)
+        except err:
+            pass
