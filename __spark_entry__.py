@@ -2146,6 +2146,44 @@ _SQL_TPCH_Q18_DUCK = _SQL_TPCH_Q18.replace(
 )
 
 
+# q10-like: returned-item revenue by customer — 3-way join (broadcast dims
+# over the fact scan), grouped revenue, deterministic top-20.
+_SQL_TPCH_Q10 = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+LIMIT 20
+"""
+
+# q7-like: shipping volume between supplier and customer nations per year —
+# the two-dimension join pattern (both nation joins broadcast; one fact
+# shuffle on the grouped keys).
+_SQL_TPCH_Q7 = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS DOUBLE)
+         AS volume
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+  AND ns.n_nationkey <> nc.n_nationkey
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+"""
+# year() exists with identical semantics in both engines; the CAST AS
+# BIGINT normalizes Spark's INT vs DuckDB's BIGINT — one shared text.
+
 # part-dimension rollup (brand/type pricing stats)
 _SQL_PART_ROLLUP = """
 SELECT p_brand,
@@ -2264,6 +2302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _sql_query(_SQL_TPCH_Q6, "lineitem"),
         "tpch_q14_promo": _sql_query(_SQL_TPCH_Q14, "lineitem", "part"),
         "tpch_q18_big_orders": _sql_query(_SQL_TPCH_Q18, "orders", "lineitem"),
+        "tpch_q10_returns": _sql_query(
+            _SQL_TPCH_Q10, "customer", "orders", "lineitem", "nation"
+        ),
+        "tpch_q7_volume": _sql_query(
+            _SQL_TPCH_Q7, "lineitem", "supplier", "orders", "customer", "nation"
+        ),
         "part_rollup": _sql_query(_SQL_PART_ROLLUP, "part"),
         "broadcast_rollup": _q_broadcast_rollup,
     }
@@ -2339,6 +2383,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _SQL_TPCH_Q6,
         "tpch_q14_promo": _SQL_TPCH_Q14,
         "tpch_q18_big_orders": _SQL_TPCH_Q18_DUCK,
+        "tpch_q10_returns": _SQL_TPCH_Q10,
+        "tpch_q7_volume": _SQL_TPCH_Q7,
         "part_rollup": _SQL_PART_ROLLUP,
         "broadcast_rollup": _SQL_BROADCAST_ROLLUP_DUCK,
     }
