@@ -759,7 +759,9 @@ def _mh_bands(cast: str) -> str:
 # so results stay hash-equal, and a planted 60-clone fixture pins the
 # capped path in pytest. The oversized set is a tiny aggregate on the SAME
 # (band, key) partitioning as the join — no extra corpus scan or shuffle.
-_LSH_BUCKET_CAP = 50
+# The constant lives in engine/minhash.py (r4) so the incremental streaming
+# path applies the SAME cap by construction.
+_LSH_BUCKET_CAP = _mh.LSH_BUCKET_CAP
 _MINHASH_PAIRS_TAIL = f"""
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -840,7 +842,8 @@ def _cc_min_label(nodes: DataFrame, edges: DataFrame, max_rounds: int = 50) -> D
 
     `nodes` = (doc_id), `edges` = directed (src, dst) — pass both directions
     for an undirected graph. Returns (doc_id, lbl) with lineage truncated
-    (localCheckpoint) and NO persisted frames left behind (ADVICE r2 #3)."""
+    (reliable checkpoint — see the inline note on why NOT localCheckpoint)
+    and NO persisted frames left behind (ADVICE r2 #3)."""
     global _CC_LAST_ROUNDS
     labels = nodes.select(F.col("doc_id"), F.col("doc_id").alias("lbl")).persist()
     rounds = 0
@@ -1524,7 +1527,10 @@ def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IMG_DECODE_PNG_DUCK = f"""
 WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text,
                   (length(repeat(text, 8)) < ({_IMG_W}) * ({_IMG_H}) * 3
-                   OR regexp_matches(text, '[^\\x00-\\x7f]')) AS bad
+                   OR regexp_matches(
+                        substr(repeat(text, 8), 1,
+                               (({_IMG_W}) * ({_IMG_H}) * 3)::INT),
+                        '[^\\x00-\\x7f]')) AS bad
            FROM documents),
 px AS (SELECT doc_id, w, h, bad,
               substr(repeat(text, 8), 1, (w * h * 3)::INT) AS pix FROM p),
@@ -1622,7 +1628,10 @@ def _q_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_IMG_DECODE_GIF_DUCK = f"""
 WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text,
                   (length(repeat(text, 8)) < ({_IMG_W}) * ({_IMG_H})
-                   OR regexp_matches(text, '[^\\x00-\\x7f]')) AS bad
+                   OR regexp_matches(
+                        substr(repeat(text, 8), 1,
+                               (({_IMG_W}) * ({_IMG_H}))::INT),
+                        '[^\\x00-\\x7f]')) AS bad
            FROM documents),
 px AS (SELECT doc_id, w, h, bad,
               substr(repeat(text, 8), 1, (w * h)::INT) AS pix FROM p),
@@ -1732,7 +1741,9 @@ def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_AUDIO_DECODE_DUCK = """
 WITH p AS (SELECT doc_id, (64 + doc_id % 64) AS n, text,
                   (length(repeat(text, 4)) < (64 + doc_id % 64)
-                   OR regexp_matches(text, '[^\\x00-\\x7f]')) AS bad
+                   OR regexp_matches(
+                        substr(repeat(text, 4), 1, (64 + doc_id % 64)::INT),
+                        '[^\\x00-\\x7f]')) AS bad
            FROM documents),
 s AS (SELECT doc_id, n, bad,
              substr(repeat(text, 4), 1, n::INT) AS seg FROM p),

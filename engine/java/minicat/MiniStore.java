@@ -45,22 +45,32 @@ public final class MiniStore {
     return TABLES.remove(key) != null;
   }
 
-  static ArrayList<InternalRow> snapshot(String key) {
+  /** ADVICE r3 #5: a scan planned after dropTable must fail with a clear
+   *  message, not an opaque NPE. */
+  private static Entry require(String key) {
     Entry e = TABLES.get(key);
+    if (e == null) {
+      throw new IllegalStateException("table dropped: " + key);
+    }
+    return e;
+  }
+
+  static ArrayList<InternalRow> snapshot(String key) {
+    Entry e = require(key);
     synchronized (e.rows) {
       return new ArrayList<>(e.rows);
     }
   }
 
   static void append(String key, List<InternalRow> rows) {
-    Entry e = TABLES.get(key);
+    Entry e = require(key);
     synchronized (e.rows) {
       e.rows.addAll(rows);
     }
   }
 
   static void replace(String key, List<InternalRow> rows) {
-    Entry e = TABLES.get(key);
+    Entry e = require(key);
     synchronized (e.rows) {
       e.rows.clear();
       e.rows.addAll(rows);

@@ -332,14 +332,25 @@ def _decode_jpeg_inner(payload: bytes) -> tuple[int, int, int, bytes]:
     frame = None
     restart_interval = 0
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise JpegError("truncated stream")
         if payload[pos] != 0xFF:
             raise JpegError("bad marker alignment")
+        # Spec B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — skip them (ADVICE r3 #3)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > len(payload):
+                raise JpegError("truncated stream")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:
             raise JpegError("no scan before EOI")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn are standalone markers — no length word
+            continue
+        if pos + 2 > len(payload):
+            raise JpegError("truncated stream")
         (ln,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + ln]
         if len(body) < ln - 2:

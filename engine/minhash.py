@@ -27,6 +27,13 @@ B = [int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:8], 16) for i in range(8
 N_BANDS = 4
 ROWS_PER_BAND = 2
 
+# A degenerate band key shared by B documents emits B² candidate pairs;
+# standard practice drops oversized buckets (members are caught by other
+# bands or are junk). ONE constant shared by the batch query
+# (`__spark_entry__` minhash_lsh_pairs + its DuckDB oracle) and the
+# incremental streaming path (ADVICE r3 #1) so both cap identically.
+LSH_BUCKET_CAP = 50
+
 # per-shingle 32-bit hash array over a `toks` array column
 HS_EXPR = (
     "transform(sequence(0, size(toks) - 3), "

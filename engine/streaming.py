@@ -203,8 +203,21 @@ def neardedup_stream(
     PERSISTENT signature table ∪ the batch itself, emits the new candidate
     pairs, and appends the new signatures to the table. Every pair involves
     at least one new document, so each pair is emitted exactly once — in the
-    batch where its LATER member arrives; the union of per-batch emissions
-    equals the batch query's pairs on the union corpus (pytest-pinned).
+    batch where its LATER member arrives.
+
+    Bucket cap (ADVICE r3 #1): oversized (band, key) buckets — more than
+    ``minhash.LSH_BUCKET_CAP`` members over the CUMULATIVE corpus (signature
+    table ∪ batch) — are dropped before the pair join, the same cap the
+    batch ``minhash_lsh_pairs`` query applies, so one degenerate bucket
+    cannot emit O(B²) pairs per batch. Equivalence with the batch query on
+    the union corpus (pytest-pinned, incl. a 60-clone degenerate bucket)
+    holds whenever each oversized bucket is already over the cap when its
+    pairs would first be emitted; if a bucket crosses the cap MID-stream,
+    pairs emitted while it was small stay emitted — an append-only sink
+    cannot retract, so streaming may keep a few early pairs the batch query
+    would drop. That monotonicity caveat is inherent to incremental dedup,
+    not a bug: downstream keep-set logic treats extra candidate pairs as
+    harmless (they only merge clusters earlier).
 
     Scale shape: the banded join co-locates on (band, key); only tiny
     (doc_id, band, key) rows move. The signature table grows one row per
@@ -228,6 +241,17 @@ def neardedup_stream(
             )
         else:
             all_bands = new_bands
+        # drop oversized buckets over the cumulative corpus — same cap, same
+        # constant as the batch query; the aggregate shares the (band, key)
+        # partitioning of the join, so no extra corpus scan or shuffle key
+        oversized = (
+            all_bands.groupBy("band", "key")
+            .count()
+            .where(F.col("count") > minhash.LSH_BUCKET_CAP)
+            .drop("count")
+        )
+        all_bands = all_bands.join(oversized, ["band", "key"], "left_anti")
+        new_bands = new_bands.join(oversized, ["band", "key"], "left_anti")
         pairs = (
             all_bands.alias("a")
             .join(

@@ -176,3 +176,18 @@ def test_restart_markers_with_ac_coefficients():
         build_jpeg(64, 8, q, [[list(b) for b in blks]], restart_interval=2)
     )
     assert rst == plain
+
+
+def test_standalone_markers_and_fill_bytes_before_sos():
+    """ADVICE r3 #3: spec-valid standalone markers (TEM 0x01, stray RSTn)
+    and 0xFF fill-byte padding before SOS carry no length word and must be
+    skipped, not misparsed as length-prefixed segments."""
+    q = [8] * 64
+    blk = [16] + [0] * 63
+    jp = build_jpeg(10, 6, q, [[list(blk), list(blk)]])
+    plain = decode_jpeg(jp)
+    # inject after SOI (2 bytes): fill bytes, TEM, a stray RST3
+    inj = b"\xff\xff\xff" + b"\xff\x01" + b"\xff\xd3"
+    assert decode_jpeg(jp[:2] + inj + jp[2:]) == plain
+    # fill bytes directly before an existing marker (pad mid-stream)
+    assert decode_jpeg(jp[:2] + b"\xff" + jp[2:]) == plain

@@ -205,3 +205,63 @@ def test_neardedup_stream_matches_batch_pairs(spark, tmp_path):
     assert set(got) == expected
     # batch-1 pairs were even-even only; the union filled in the rest
     assert first <= expected and all(a % 2 == 0 and b % 2 == 0 for a, b in first)
+
+
+def test_neardedup_stream_applies_bucket_cap(spark, tmp_path):
+    """ADVICE r3 #1: the incremental path applies the SAME LSH bucket cap as
+    the batch query. 60 clones (one degenerate bucket, > LSH_BUCKET_CAP)
+    arrive in batch 1 and near-dup docs split across the two batches: the
+    clone bucket must emit ZERO pairs in either batch (it is over the cap
+    from first appearance, so stream == batch here), while the cross-batch
+    near-dup pair is still found."""
+    import os
+    import shutil
+
+    import __spark_entry__ as em
+    from engine.streaming import neardedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = [(i, base) for i in range(60)] + [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    ]
+    b2 = [
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+        (200, "completely different text with nothing shared at all here now"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    sig_dir = str(tmp_path / "sigs")
+    pairs_dir = str(tmp_path / "pairs")
+    cp_dir = str(tmp_path / "cp")
+    os.makedirs(docs_dir)
+
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    neardedup_stream(spark, docs_dir, sig_dir, pairs_dir, cp_dir)
+    first = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert first == set(), f"clone bucket leaked pairs past the cap: {sorted(first)[:5]}"
+
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "b2"), mode="overwrite"
+    )
+    for f in os.listdir(str(tmp_path / "b2")):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "b2" / f), f"{docs_dir}/batch2_{f}")
+    neardedup_stream(spark, docs_dir, sig_dir, pairs_dir, cp_dir)
+
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    # batch query on the union corpus: cap drops the clone bucket there too
+    all_docs = str(tmp_path / "union")
+    spark.createDataFrame(b1 + b2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{all_docs}/documents.parquet", mode="overwrite")
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in em.queries()["minhash_lsh_pairs"](spark, all_docs).collect()
+    }
+    assert got == expected
+    assert (100, 101) in got, "cross-batch near-dup pair lost"
