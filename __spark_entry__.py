@@ -1480,18 +1480,16 @@ FROM px
 """
 
 
-def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PNG gate twin of image_decode (VERDICT r2 #3): payloads are REAL
-    zlib-compressed, per-scanline-filtered PNGs built in an Arrow stage —
-    the filter type cycles (doc_id + row) % 5 so all five spec filters
-    (None/Sub/Up/Average/Paeth) are exercised through the gate — then
-    decoded for real by engine.multimodal.decode_png (stdlib zlib +
-    unfiltering, no media library). The DuckDB oracle recomputes dims +
-    pixel sha from the PRE-compression construction, so the whole
-    filter→deflate→inflate→unfilter round trip is what's being checked.
-    Every 17th payload is truncated mid-chunk → deterministic
-    'error:truncated chunk' rows (corrupt→error-row convention)."""
-    from engine.multimodal import decode_images, encode_png
+def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PNG gate construction: REAL zlib-compressed, per-scanline-
+    filtered PNGs built in an Arrow stage — the filter type cycles
+    (doc_id + row) % 5 so all five spec filters (None/Sub/Up/Average/Paeth)
+    are exercised through the gate. Every 17th payload is truncated
+    mid-chunk (corrupt→error-row convention). Used by BOTH the pure-Python
+    decode gate (image_decode_png) and the JVM decode gate
+    (image_decode_jvm) so the two paths are value-checked on identical
+    payloads."""
+    from engine.multimodal import encode_png
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
@@ -1520,8 +1518,32 @@ def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(png[:16] if did % 17 == 0 else png)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
-    return decode_images(payloads)
+    return docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
+def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG gate twin of image_decode (VERDICT r2 #3): real PNGs decoded for
+    real by engine.multimodal.decode_png (stdlib zlib + unfiltering, no
+    media library). The DuckDB oracle recomputes dims + pixel sha from the
+    PRE-compression construction, so the whole filter→deflate→inflate→
+    unfilter round trip is what's being checked; truncated payloads →
+    deterministic 'error:truncated chunk' rows."""
+    from engine.multimodal import decode_images
+
+    return decode_images(_png_payloads(spark, sf_dir))
+
+
+def _q_image_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native decode gate (VERDICT r3 #1): the SAME real-PNG payloads as
+    image_decode_png, decoded entirely inside the JVM by javax.imageio
+    (engine/java/mediadec) — no Arrow hop, no per-pixel Python; the
+    production decode path at 100 TB. The oracle recomputes the identical
+    dims + pixel sha from the pre-compression construction; the only
+    difference vs the Python twin's oracle is the normalized
+    'error:decode' status on truncated payloads."""
+    from engine.multimodal import decode_images_jvm
+
+    return decode_images_jvm(_png_payloads(spark, sf_dir))
 
 
 _SQL_IMG_DECODE_PNG_DUCK = f"""
@@ -1706,13 +1728,13 @@ FROM st
 """
 
 
-def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WAV gate query (r3): REAL 16-bit PCM audio decode — RIFF chunk walk
-    + exact integer sum of squared samples (engine.multimodal.decode_wav).
-    Samples derive from the text ((ascii·37) mod 2001 − 1000), so the
-    oracle recomputes n_samples and sum_sq exactly. Every 13th payload
-    truncated → deterministic error rows."""
-    from engine.multimodal import decode_audio, encode_wav
+def _wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared WAV gate construction: real 16-bit PCM payloads with samples
+    derived from the text ((ascii·37) mod 2001 − 1000); every 13th payload
+    truncated at byte 10 — short of the 12-byte RIFF/WAVE sniff on BOTH
+    decode paths, so Python and JVM classify it identically
+    ('error:unsupported')."""
+    from engine.multimodal import encode_wav
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
@@ -1734,8 +1756,26 @@ def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(wav[:10] if did % 13 == 0 else wav)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
-    return decode_audio(payloads)
+    return docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
+def _q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV gate query (r3): REAL 16-bit PCM audio decode — RIFF chunk walk
+    + exact integer sum of squared samples (engine.multimodal.decode_wav).
+    The oracle recomputes n_samples and sum_sq exactly."""
+    from engine.multimodal import decode_audio
+
+    return decode_audio(_wav_payloads(spark, sf_dir))
+
+
+def _q_audio_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native audio gate (VERDICT r3 #1): the SAME WAV payloads decoded
+    by javax.sound.sampled inside the JVM (engine/java/mediadec). The
+    truncation point (byte 10) fails the magic sniff on both paths, so this
+    query shares audio_decode's oracle verbatim."""
+    from engine.multimodal import decode_audio_jvm
+
+    return decode_audio_jvm(_wav_payloads(spark, sf_dir))
 
 
 _SQL_AUDIO_DECODE_DUCK = """
@@ -1770,6 +1810,21 @@ def _q_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return resize_decoded(
+        docs.select(F.col("doc_id"), _ppm_payload_col().alias("payload")),
+        out_w=2,
+        out_h=2,
+    )
+
+
+def _q_image_resize_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM twin of image_resize_nn: same PPM construction, decode + NN
+    resample inside the JVM (engine/java/mediadec, same index math) —
+    shares image_resize_nn's oracle verbatim. The payload column here is a
+    pure Catalyst expression, so the whole query is Python-free."""
+    from engine.multimodal import resize_decoded_jvm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_decoded_jvm(
         docs.select(F.col("doc_id"), _ppm_payload_col().alias("payload")),
         out_w=2,
         out_h=2,
@@ -2301,6 +2356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_jpeg": _q_image_decode_jpeg,
         "audio_decode": _q_audio_decode,
         "image_resize_nn": _q_image_resize_nn,
+        # JVM-native decode twins (javax.imageio / javax.sound — VERDICT r3 #1)
+        "image_decode_jvm": _q_image_decode_jvm,
+        "audio_decode_jvm": _q_audio_decode_jvm,
+        "image_resize_jvm": _q_image_resize_jvm,
         # relational demonstrations
         "tpch_q1": _sql_query(_SQL_TPCH_Q1, "lineitem"),
         "tpch_q3_top10": _sql_query(
@@ -2387,6 +2446,14 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_jpeg": _SQL_IMG_DECODE_JPEG_DUCK,
         "audio_decode": _SQL_AUDIO_DECODE_DUCK,
         "image_resize_nn": _SQL_IMG_RESIZE_NN_DUCK,
+        # JVM decode twins: identical constructions -> identical oracles,
+        # except the PNG one where a truncated payload surfaces as the
+        # normalized 'error:decode' instead of 'error:truncated chunk'
+        "image_decode_jvm": _SQL_IMG_DECODE_PNG_DUCK.replace(
+            "'error:truncated chunk'", "'error:decode'"
+        ),
+        "audio_decode_jvm": _SQL_AUDIO_DECODE_DUCK,
+        "image_resize_jvm": _SQL_IMG_RESIZE_NN_DUCK,
         "tpch_q1": _SQL_TPCH_Q1,
         "tpch_q3_top10": _SQL_TPCH_Q3_DUCK,
         "tpch_q5_like": _SQL_TPCH_Q5,

@@ -831,3 +831,94 @@ def sample_frames(
     return df.mapInPandas(
         _frame_sample_batches(every_n, frame_bytes), schema=FRAMES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# JVM-native decode twins (VERDICT r3 #1). The pure-Python decoders above are
+# the differential ORACLE; these run the decode inside the JVM via
+# javax.imageio / javax.sound (engine/java/mediadec -> dist/mediadec.jar), so
+# payload bytes never cross the Arrow boundary and the per-pixel work runs at
+# native speed — the scale path for 100 TB of images. Differential tests pin
+# JVM pixel-sha == Python pixel-sha on the synthesized corpora
+# (tests/test_mediadec_jvm.py).
+# ---------------------------------------------------------------------------
+
+_JVM_UDFS = (
+    # (sql name, class, return struct DDL)
+    (
+        "mediadec_decode_image",
+        "mediadec.DecodeImageUdf",
+        "status string, width bigint, height bigint, channels bigint, "
+        "n_pixel_bytes bigint, pixel_sha string",
+    ),
+    (
+        "mediadec_decode_audio",
+        "mediadec.DecodeAudioUdf",
+        "status string, sample_rate bigint, channels bigint, "
+        "n_samples bigint, sum_sq bigint",
+    ),
+    (
+        "mediadec_resize_nn",
+        "mediadec.ResizeNNUdf",
+        "status string, out_w bigint, out_h bigint, thumb_sha string",
+    ),
+)
+_JVM_REGISTERED: set[int] = set()  # id(SparkSession) -> registered once
+
+
+def register_jvm_media(spark) -> None:
+    """Register the mediadec JVM UDFs on this session (idempotent). Raises
+    RuntimeError with a build hint if dist/mediadec.jar is not on the
+    classpath (engine.session.get_spark adds it when present)."""
+    if id(spark) in _JVM_REGISTERED:
+        return
+    from pyspark.sql.types import StructType
+
+    try:
+        for name, cls, ddl in _JVM_UDFS:
+            spark.udf.registerJavaFunction(name, cls, StructType.fromDDL(ddl))
+    except Exception as e:  # noqa: BLE001 - surface one actionable message
+        raise RuntimeError(
+            "mediadec JVM UDFs unavailable — build dist/mediadec.jar with "
+            "scripts/build_mediadec.sh and create the session via "
+            "engine.session.get_spark"
+        ) from e
+    _JVM_REGISTERED.add(id(spark))
+
+
+def decode_images_jvm(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> same schema as decode_images, decoded
+    ENTIRELY inside the JVM (javax.imageio). Statuses: ok /
+    error:unsupported (unknown magic) / error:decode (known magic, failed
+    decode — the Python twin's finer-grained truncation statuses collapse
+    into this one)."""
+    from pyspark.sql import functions as F
+
+    register_jvm_media(df.sparkSession)
+    return df.select(
+        F.col("doc_id"), F.expr("mediadec_decode_image(payload)").alias("r")
+    ).select("doc_id", "r.*")
+
+
+def decode_audio_jvm(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> same schema as decode_audio, via
+    javax.sound.sampled inside the JVM."""
+    from pyspark.sql import functions as F
+
+    register_jvm_media(df.sparkSession)
+    return df.select(
+        F.col("doc_id"), F.expr("mediadec_decode_audio(payload)").alias("r")
+    ).select("doc_id", "r.*")
+
+
+def resize_decoded_jvm(df: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """(doc_id, payload) -> same schema as resize_decoded, decoded + NN
+    resampled inside the JVM. Decodes every supported image format (a
+    superset of the Python twin, which is PNM-only)."""
+    from pyspark.sql import functions as F
+
+    register_jvm_media(df.sparkSession)
+    return df.select(
+        F.col("doc_id"),
+        F.expr(f"mediadec_resize_nn(payload, {int(out_w)}, {int(out_h)})").alias("r"),
+    ).select("doc_id", "r.*")

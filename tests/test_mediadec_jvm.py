@@ -1,0 +1,189 @@
+"""JVM-native media decode (engine/java/mediadec) vs the pure-Python oracle
+decoders (engine/multimodal, engine/jpeg) — the fast-path/reference-twin
+discipline (VERDICT r3 next-round #1): the production decode path runs
+javax.imageio / javax.sound inside the JVM (no Arrow hop, no per-pixel
+Python), and these differential tests pin it row-identical to the Python
+decoders on synthesized corpora covering every live format branch.
+
+JPEG exactness caveat: JPEG is lossy and libjpeg's integer IDCT may differ
+from our float IDCT by ±1-2 per sample on general coefficients, so exact
+sha parity is asserted only on the float-exact DC-only subset (the same
+subset the gate query hash-pins); general streams assert structural parity
+(status/dims/channels/byte count)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from engine.jpeg import build_jpeg
+from engine.multimodal import (
+    decode_audio,
+    decode_audio_jvm,
+    decode_images,
+    decode_images_jvm,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    encode_wav,
+    resize_decoded,
+    resize_decoded_jvm,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _rows(df):
+    return {r["doc_id"]: tuple(r)[1:] for r in df.collect()}
+
+
+def _gray(n: int, seed: int) -> bytes:
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+def _payload_df(spark, payloads):
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_jvm_image_decode_matches_python_on_all_formats(spark):
+    """Pixel-sha parity on every live format branch: PPM, PGM, PNG
+    (RGB with all five scanline filters, gray, RGBA), BMP, GIF, and the
+    float-exact DC-only JPEG subset."""
+    pal = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
+    rgb = _gray(36, 1)
+    payloads = [
+        b"P6\n4 3\n255\n" + rgb,
+        b"P5\n# comment\n6 4\n255\n" + _gray(24, 2),
+        encode_png(4, 3, 3, rgb, filter_of_row=lambda r: r % 5),
+        encode_png(3, 5, 3, _gray(45, 3), filter_of_row=lambda r: (r + 2) % 5),
+        encode_png(6, 4, 1, _gray(24, 4)),
+        encode_png(4, 4, 4, _gray(64, 5)),
+        encode_bmp(4, 3, rgb),
+        encode_bmp(7, 5, _gray(105, 6)),
+        encode_gif(4, 3, pal, [i % 8 for i in range(12)]),
+        encode_gif(9, 2, pal, [(i * 3) % 8 for i in range(18)]),
+        build_jpeg(10, 6, [8] * 64, [[[16] + [0] * 63, [-32] + [0] * 63]]),
+    ]
+    df = _payload_df(spark, payloads)
+    py, jv = _rows(decode_images(df)), _rows(decode_images_jvm(df))
+    assert py == jv
+    assert all(v[0] == "ok" for v in py.values()), py
+
+
+def test_jvm_jpeg_general_streams_structural_parity(spark):
+    """Random-coefficient gray + 4:2:0/4:2:2 color + restart-marker JPEGs:
+    the JVM decode must succeed with identical dims/channels/byte counts
+    (shas may differ by IDCT rounding — exactness for the lossy format is
+    pinned on the DC-only subset above and against the independent textbook
+    IDCT in tests/test_jpeg.py)."""
+    random.seed(7)
+    q = [1 + random.randrange(4) for _ in range(64)]
+    blk = [random.randrange(-18, 19) for _ in range(64)]
+    gray = build_jpeg(8, 8, q, [[list(blk)]])
+    flat = [8] + [0] * 63
+    color420 = build_jpeg(
+        16, 16, [8] * 64, [[list(flat)] * 4, [list(flat)], [list(flat)]],
+        sampling=((2, 2), (1, 1), (1, 1)),
+    )
+    rst = build_jpeg(
+        48, 8, [8] * 64,
+        [[[dc] + [0] * 63 for dc in (16, -32, 48, 0, 8, -8)]],
+        restart_interval=2,
+    )
+    df = _payload_df(spark, [gray, color420, rst])
+    py, jv = _rows(decode_images(df)), _rows(decode_images_jvm(df))
+    for k in py:
+        assert jv[k][0] == "ok", (k, jv[k])
+        assert py[k][:4] == jv[k][:4], (k, py[k], jv[k])  # status..n_pixel_bytes
+
+
+def test_jvm_corrupt_payloads_are_error_rows(spark):
+    """Corrupt/unknown payloads: unknown magic -> error:unsupported on BOTH
+    paths (same pre-decode dispatch); known-magic-but-broken -> error:* on
+    both (the JVM path normalizes Python's truncation flavors into
+    error:decode). Never a task failure."""
+    payloads = [
+        b"",
+        b"XX nothing",
+        encode_png(2, 2, 3, _gray(12, 8))[:16],
+        encode_bmp(3, 3, _gray(27, 9))[:20],
+        encode_gif(3, 3, bytes(24), [0] * 9)[:12],
+        build_jpeg(8, 8, [8] * 64, [[[0] * 64]])[:8],
+        b"P6\n4 3\n255\n" + b"\x00" * 5,  # truncated raster
+        b"P6\n0 0\n255\n",  # non-positive dims
+    ]
+    df = _payload_df(spark, payloads)
+    py, jv = _rows(decode_images(df)), _rows(decode_images_jvm(df))
+    for k in py:
+        assert py[k][0].startswith("error:"), (k, py[k])
+        assert jv[k][0].startswith("error:"), (k, jv[k])
+        assert py[k][1:] == jv[k][1:] == (0, 0, 0, 0, "")
+        # unknown-magic classification agrees exactly
+        if py[k][0] == "error:unsupported":
+            assert jv[k][0] == "error:unsupported"
+
+
+def test_jvm_audio_decode_matches_python(spark):
+    """16-bit PCM WAV parity: sample_rate/channels/n_samples and the exact
+    integer sum of squares agree (n_samples counts SAMPLES across channels,
+    matching decode_wav). Corrupt -> error rows on both."""
+    mono = [(i * 37) % 2001 - 1000 for i in range(777)]
+    stereo = [(i * 91) % 4001 - 2000 for i in range(404)]  # 202 frames x 2ch
+    payloads = [
+        encode_wav(16000, 1, mono),
+        encode_wav(8000, 2, stereo),
+        encode_wav(44100, 1, [0, 32767, -32768, -1]),
+        b"XX not audio",
+        encode_wav(16000, 1, mono)[:10],
+    ]
+    df = _payload_df(spark, payloads)
+    py, jv = _rows(decode_audio(df)), _rows(decode_audio_jvm(df))
+    for k in (0, 1, 2):
+        assert py[k] == jv[k] and py[k][0] == "ok", (k, py[k], jv[k])
+    for k in (3, 4):
+        assert py[k][0].startswith("error:") and jv[k][0].startswith("error:")
+
+
+def test_jvm_resize_nn_matches_python_and_extends_it(spark):
+    """NN thumbnail sha parity on PNM (the Python twin's only format) at
+    several output sizes; the JVM path additionally resizes formats the
+    Python twin rejects (PNG) with the sha the Python INDEX MATH predicts."""
+    import hashlib
+
+    w, h = 9, 7
+    pix = _gray(w * h * 3, 10)
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + pix
+    df = _payload_df(spark, [ppm])
+    for ow, oh in ((2, 2), (3, 2), (1, 1), (4, 4)):
+        py = _rows(resize_decoded(df, ow, oh))
+        jv = _rows(resize_decoded_jvm(df, ow, oh))
+        assert py == jv and py[0][0] == "ok", (ow, oh, py, jv)
+
+    png = encode_png(w, h, 3, pix)
+    jv = _rows(resize_decoded_jvm(_payload_df(spark, [png]), 2, 2))
+    want = b"".join(
+        pix[((ti * h // 2) * w + (tj * w // 2)) * 3:][:3]
+        for ti in range(2)
+        for tj in range(2)
+    )
+    assert jv[0] == ("ok", 2, 2, hashlib.sha256(want).hexdigest())
+
+
+def test_jvm_decode_plan_has_no_python_stage(spark, tmp_path):
+    """The point of the JVM twin: reading payloads from parquet and decoding
+    must produce a plan with NO Python evaluation operator of any kind —
+    the decode is a JVM Project over the scan."""
+    df = _payload_df(spark, [encode_png(4, 3, 3, _gray(36, 11))])
+    p = str(tmp_path / "payloads.parquet")
+    df.write.parquet(p)
+    plan = (
+        decode_images_jvm(spark.read.parquet(p))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert op not in plan, plan
