@@ -48,11 +48,42 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces {
 
   @Override
   public Table loadTable(Identifier ident) throws NoSuchTableException {
+    String name = ident.name();
+    if (name.endsWith("$groups")) {
+      // Iceberg-style metadata table: SELECT * FROM mini.ns.`t$groups`
+      String base = name.substring(0, name.length() - "$groups".length());
+      String baseKey =
+          catalogName + "." + String.join(".", ident.namespace()) + "." + base;
+      if (MiniStore.get(baseKey) == null) {
+        throw new NoSuchTableException(ident);
+      }
+      return new MiniGroupsTable(baseKey, name);
+    }
     MiniStore.Entry e = MiniStore.get(key(ident));
     if (e == null) {
       throw new NoSuchTableException(ident);
     }
     return new MiniTable(key(ident), ident.name(), e.schema);
+  }
+
+  /** {@code VERSION AS OF <n>}: snapshot ids are the commit sequence
+   *  numbers MiniStore records per commit (0 = empty table). */
+  @Override
+  public Table loadTable(Identifier ident, String version) throws NoSuchTableException {
+    MiniStore.Entry e = MiniStore.get(key(ident));
+    if (e == null) {
+      throw new NoSuchTableException(ident);
+    }
+    long snap;
+    try {
+      snap = Long.parseLong(version);
+    } catch (NumberFormatException ex) {
+      throw new IllegalArgumentException(
+          "MiniCatalog snapshot ids are integers, got: " + version);
+    }
+    // validate eagerly so a bad version fails at analysis, not mid-scan
+    MiniStore.groupsAt(key(ident), snap);
+    return new MiniTable(key(ident), ident.name(), e.schema, snap);
   }
 
   @Override

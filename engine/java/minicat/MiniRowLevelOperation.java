@@ -1,5 +1,7 @@
 package minicat;
 
+import org.apache.spark.sql.connector.expressions.Expressions;
+import org.apache.spark.sql.connector.expressions.NamedReference;
 import org.apache.spark.sql.connector.read.ScanBuilder;
 import org.apache.spark.sql.connector.write.LogicalWriteInfo;
 import org.apache.spark.sql.connector.write.RowLevelOperation;
@@ -8,16 +10,20 @@ import org.apache.spark.sql.types.StructType;
 import org.apache.spark.sql.util.CaseInsensitiveStringMap;
 
 /**
- * Group-based row-level operation over the whole table as one group: the
- * scan reads all rows, Spark's ReplaceData plan computes the merged /
- * updated / deleted row set, and the write's commit swaps in the
- * replacement — copy-on-write MERGE semantics, exactly what the reference's
- * rerun-overwrites behavior maps to (SURVEY.md §2.3 J4).
+ * Group-based row-level operation, group-SCOPED since r4 (VERDICT r3 #2):
+ * declaring {@code _group} as a required metadata attribute makes Spark
+ * carry the group id through the ReplaceData plan and enables the runtime
+ * group-filtering rule; the scan instance is shared with the write builder
+ * so the commit replaces exactly the groups the (runtime-filtered) scan
+ * read — Iceberg-faithful copy-on-write, instead of the r3 behavior where
+ * every MERGE rewrote the whole table. Maps the reference's
+ * rerun-overwrites behavior (SURVEY.md §2.3 J4).
  */
 public class MiniRowLevelOperation implements RowLevelOperation {
   private final String key;
   private final StructType tableSchema;
   private final Command cmd;
+  private MiniRowLevelScan scan;
 
   MiniRowLevelOperation(String key, StructType tableSchema, Command cmd) {
     this.key = key;
@@ -31,12 +37,20 @@ public class MiniRowLevelOperation implements RowLevelOperation {
   }
 
   @Override
+  public NamedReference[] requiredMetadataAttributes() {
+    return new NamedReference[] {Expressions.column(MiniTable.GROUP_COL)};
+  }
+
+  @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
-    return new MiniScan(key, tableSchema);
+    scan = new MiniRowLevelScan(key, tableSchema);
+    return scan;
   }
 
   @Override
   public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
-    return new MiniWriteBuilder(key, tableSchema, true, true);
+    final MiniRowLevelScan s = scan;
+    return new MiniWriteBuilder(
+        key, tableSchema, info.schema(), true, () -> s == null ? null : s.retainedGroups());
   }
 }

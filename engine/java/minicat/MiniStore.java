@@ -3,9 +3,11 @@ package minicat;
 import java.util.ArrayList;
 import java.util.List;
 import java.util.Map;
+import java.util.TreeMap;
 import java.util.concurrent.ConcurrentHashMap;
 
 import org.apache.spark.sql.catalyst.InternalRow;
+import org.apache.spark.sql.types.DataType;
 import org.apache.spark.sql.types.StructType;
 
 /**
@@ -15,17 +17,34 @@ import org.apache.spark.sql.types.StructType;
  * valid (test-only) storage engine — the point of MiniCatalog is to give
  * Spark's row-level-operation planner (MERGE INTO / UPDATE / DELETE) a real
  * DSv2 surface to execute against in a sandbox with no Iceberg runtime jar.
- * It deliberately mirrors the shape of Spark's own in-memory test catalog
- * (a public pattern; see Spark's InMemoryRowLevelOperationTable docs) while
- * staying minimal: full-table groups, append or replace commits.
+ *
+ * r4 (VERDICT r3 next-round #2 + #6): storage is split into NUM_GROUPS
+ * bucket groups — the in-memory analog of Iceberg data files — hashed on the
+ * first column. Group lists are COPY-ON-WRITE: a commit never mutates a
+ * stored list, it swaps in a rebuilt list for exactly the groups it touched
+ * and bumps their versions. That gives (a) group-scoped MERGE: ReplaceData
+ * rewrites only the groups the runtime-filtered row-level scan retained,
+ * untouched groups keep their list identity AND version (pinned by
+ * test_tableio_minicat), and (b) free snapshots: each commit records the
+ * group-pointer vector, so {@code VERSION AS OF n} reads are O(1) pointer
+ * lookups with no data copying — Iceberg-style time travel.
  */
 public final class MiniStore {
+  public static final int NUM_GROUPS = 8;
+
   public static final class Entry {
     public final StructType schema;
-    public final List<InternalRow> rows = new ArrayList<>();
+    final ArrayList<ArrayList<InternalRow>> groups = new ArrayList<>();
+    final long[] version = new long[NUM_GROUPS];
+    long commitSeq = 0;
+    final TreeMap<Long, ArrayList<ArrayList<InternalRow>>> snapshots = new TreeMap<>();
 
     Entry(StructType schema) {
       this.schema = schema;
+      for (int g = 0; g < NUM_GROUPS; g++) {
+        groups.add(new ArrayList<>());
+      }
+      snapshots.put(0L, new ArrayList<>(groups));
     }
   }
 
@@ -55,25 +74,125 @@ public final class MiniStore {
     return e;
   }
 
-  static ArrayList<InternalRow> snapshot(String key) {
+  /** Deterministic home group of a row: hash of the first column value.
+   *  UTF8String / boxed numerics hash by content, so the assignment is
+   *  stable across InternalRow representations. */
+  static int groupOf(InternalRow row, StructType schema) {
+    DataType t0 = schema.fields()[0].dataType();
+    Object v = row.isNullAt(0) ? null : row.get(0, t0);
+    return Math.floorMod(v == null ? 0 : v.hashCode(), NUM_GROUPS);
+  }
+
+  /** Consistent view of the group lists (current, or a past snapshot). */
+  static ArrayList<ArrayList<InternalRow>> groupsAt(String key, Long snapshotId) {
     Entry e = require(key);
-    synchronized (e.rows) {
-      return new ArrayList<>(e.rows);
+    synchronized (e) {
+      if (snapshotId == null) {
+        return new ArrayList<>(e.groups);
+      }
+      ArrayList<ArrayList<InternalRow>> snap = e.snapshots.get(snapshotId);
+      if (snap == null) {
+        throw new IllegalArgumentException(
+            "no snapshot " + snapshotId + " for " + key + " (have 0.." + e.commitSeq + ")");
+      }
+      return snap;
     }
   }
 
+  static long[] groupVersions(String key) {
+    Entry e = require(key);
+    synchronized (e) {
+      return e.version.clone();
+    }
+  }
+
+  static long currentSnapshot(String key) {
+    Entry e = require(key);
+    synchronized (e) {
+      return e.commitSeq;
+    }
+  }
+
+  private static void commitSnapshot(Entry e) {
+    e.commitSeq++;
+    e.snapshots.put(e.commitSeq, new ArrayList<>(e.groups));
+  }
+
+  /** INSERT INTO: bucket rows to their home groups; COW-extend only the
+   *  groups that receive rows. */
   static void append(String key, List<InternalRow> rows) {
     Entry e = require(key);
-    synchronized (e.rows) {
-      e.rows.addAll(rows);
+    synchronized (e) {
+      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema);
+      for (int g = 0; g < NUM_GROUPS; g++) {
+        if (!buckets.get(g).isEmpty()) {
+          ArrayList<InternalRow> next = new ArrayList<>(e.groups.get(g));
+          next.addAll(buckets.get(g));
+          e.groups.set(g, next);
+          e.version[g]++;
+        }
+      }
+      commitSnapshot(e);
     }
   }
 
+  /** TRUNCATE / overwrite: every group rebuilt. */
   static void replace(String key, List<InternalRow> rows) {
     Entry e = require(key);
-    synchronized (e.rows) {
-      e.rows.clear();
-      e.rows.addAll(rows);
+    synchronized (e) {
+      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema);
+      for (int g = 0; g < NUM_GROUPS; g++) {
+        e.groups.set(g, buckets.get(g));
+        e.version[g]++;
+      }
+      commitSnapshot(e);
     }
+  }
+
+  /**
+   * Group-scoped ReplaceData commit (the Iceberg-faithful path): clear and
+   * refill exactly the groups the row-level scan read ({@code scanned};
+   * null = no runtime filter arrived = all groups), COW-append any
+   * replacement rows whose home group was NOT scanned (NOT MATCHED inserts
+   * hashing elsewhere), and leave every other group's list identity and
+   * version untouched.
+   */
+  static void replaceGroups(String key, int[] scanned, List<InternalRow> rows) {
+    Entry e = require(key);
+    synchronized (e) {
+      boolean[] inScan = new boolean[NUM_GROUPS];
+      if (scanned == null) {
+        java.util.Arrays.fill(inScan, true);
+      } else {
+        for (int g : scanned) {
+          inScan[g] = true;
+        }
+      }
+      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema);
+      for (int g = 0; g < NUM_GROUPS; g++) {
+        if (inScan[g]) {
+          e.groups.set(g, buckets.get(g));
+          e.version[g]++;
+        } else if (!buckets.get(g).isEmpty()) {
+          ArrayList<InternalRow> next = new ArrayList<>(e.groups.get(g));
+          next.addAll(buckets.get(g));
+          e.groups.set(g, next);
+          e.version[g]++;
+        }
+      }
+      commitSnapshot(e);
+    }
+  }
+
+  private static ArrayList<ArrayList<InternalRow>> bucket(
+      List<InternalRow> rows, StructType schema) {
+    ArrayList<ArrayList<InternalRow>> buckets = new ArrayList<>();
+    for (int g = 0; g < NUM_GROUPS; g++) {
+      buckets.add(new ArrayList<>());
+    }
+    for (InternalRow r : rows) {
+      buckets.get(groupOf(r, schema)).add(r);
+    }
+    return buckets;
   }
 }

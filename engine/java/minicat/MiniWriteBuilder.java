@@ -2,6 +2,7 @@ package minicat;
 
 import java.util.ArrayList;
 import java.util.List;
+import java.util.function.Supplier;
 
 import org.apache.spark.sql.catalyst.InternalRow;
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow;
@@ -18,28 +19,38 @@ import org.apache.spark.sql.types.StructType;
 
 /**
  * Batch write: task writers buffer deep-copied rows and ship them back in
- * the commit message; the driver-side commit appends (INSERT INTO) or
- * replaces (truncate/overwrite, and the row-level MERGE write — the scan
- * read the whole table as one group, so the replacement is the whole table).
+ * the commit message; the driver-side commit appends (INSERT INTO),
+ * replaces (truncate/overwrite), or — for row-level MERGE/UPDATE/DELETE —
+ * replaces exactly the storage groups the shared row-level scan retained
+ * after runtime group filtering (r4; see MiniStore.replaceGroups).
  *
- * Row-level quirk (empirically pinned by tests/test_tableio.py): when a
- * connector declares no requiredMetadataAttributes, Spark's ReplaceDataExec
- * picks the plain DataWritingSparkTask and skips the ReplaceDataProjections
- * row projection, so MERGE feeds the writer the raw MergeRows output —
- * [__row_operation, ...table columns]. The row-level writer therefore strips
- * one leading column when the incoming arity is tableSchema+1.
+ * Incoming rows are projected to the table schema BY NAME against the
+ * logical write schema (r4): the MERGE write plan carries extra columns
+ * (__row_operation, the _group metadata attribute) whose order is a Spark
+ * implementation detail, so positional stripping (the r3 heuristic) is
+ * replaced by resolving each table column's index in info.schema(); writes
+ * whose schema lacks a table column fall back to positional mapping.
  */
 public class MiniWriteBuilder implements WriteBuilder, SupportsTruncate {
   private final String key;
   private final StructType tableSchema;
+  private final StructType writeSchema;
   private final boolean rowLevel;
+  private final Supplier<int[]> retainedGroups; // non-null only for row-level
   private boolean replace;
 
-  MiniWriteBuilder(String key, StructType tableSchema, boolean rowLevel, boolean replace) {
+  MiniWriteBuilder(
+      String key,
+      StructType tableSchema,
+      StructType writeSchema,
+      boolean rowLevel,
+      Supplier<int[]> retainedGroups) {
     this.key = key;
     this.tableSchema = tableSchema;
+    this.writeSchema = writeSchema;
     this.rowLevel = rowLevel;
-    this.replace = replace;
+    this.retainedGroups = retainedGroups;
+    this.replace = rowLevel;
   }
 
   @Override
@@ -50,34 +61,25 @@ public class MiniWriteBuilder implements WriteBuilder, SupportsTruncate {
 
   @Override
   public Write build() {
-    final String k = key;
     final boolean r = replace;
-    final StructType s = tableSchema;
-    final boolean rl = rowLevel;
     return new Write() {
       @Override
       public BatchWrite toBatch() {
-        return new MiniBatchWrite(k, r, s, rl);
+        return new MiniBatchWrite(r);
       }
     };
   }
 
-  static class MiniBatchWrite implements BatchWrite {
-    private final String key;
-    private final boolean replace;
-    private final StructType tableSchema;
-    private final boolean rowLevel;
+  class MiniBatchWrite implements BatchWrite {
+    private final boolean replaceAll;
 
-    MiniBatchWrite(String key, boolean replace, StructType tableSchema, boolean rowLevel) {
-      this.key = key;
-      this.replace = replace;
-      this.tableSchema = tableSchema;
-      this.rowLevel = rowLevel;
+    MiniBatchWrite(boolean replaceAll) {
+      this.replaceAll = replaceAll;
     }
 
     @Override
     public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
-      return new MiniWriterFactory(tableSchema, rowLevel);
+      return new MiniWriterFactory(tableSchema, writeSchema);
     }
 
     @Override
@@ -86,7 +88,9 @@ public class MiniWriteBuilder implements WriteBuilder, SupportsTruncate {
       for (WriterCommitMessage m : messages) {
         all.addAll(((MiniCommitMessage) m).rows);
       }
-      if (replace) {
+      if (rowLevel) {
+        MiniStore.replaceGroups(key, retainedGroups.get(), all);
+      } else if (replaceAll) {
         MiniStore.replace(key, all);
       } else {
         MiniStore.append(key, all);
@@ -99,37 +103,61 @@ public class MiniWriteBuilder implements WriteBuilder, SupportsTruncate {
 
   static class MiniWriterFactory implements DataWriterFactory {
     private final StructType tableSchema;
-    private final boolean rowLevel;
+    private final StructType writeSchema;
 
-    MiniWriterFactory(StructType tableSchema, boolean rowLevel) {
+    MiniWriterFactory(StructType tableSchema, StructType writeSchema) {
       this.tableSchema = tableSchema;
-      this.rowLevel = rowLevel;
+      this.writeSchema = writeSchema;
     }
 
     @Override
     public DataWriter<InternalRow> createWriter(int partitionId, long taskId) {
       final int n = tableSchema.size();
       final DataType[] types = new DataType[n];
+      final int[] srcIdx = new int[n];
+      boolean byName = true;
       for (int i = 0; i < n; i++) {
         types[i] = tableSchema.fields()[i].dataType();
+        String name = tableSchema.fields()[i].name();
+        int j = -1;
+        if (writeSchema != null) {
+          for (int k = 0; k < writeSchema.size(); k++) {
+            if (writeSchema.fields()[k].name().equals(name)) {
+              j = k;
+              break;
+            }
+          }
+        }
+        srcIdx[i] = j;
+        if (j < 0) {
+          byName = false;
+        }
       }
+      final boolean resolveByName = byName;
       return new DataWriter<InternalRow>() {
         private final ArrayList<InternalRow> buf = new ArrayList<>();
 
         @Override
         public void write(InternalRow row) {
-          if (rowLevel && row.numFields() == n + 1) {
-            // raw MergeRows output: drop the leading __row_operation column.
-            // copy() first so extracted strings/binaries reference a
-            // self-contained buffer, not the task's reused row.
-            InternalRow c = row.copy();
+          // copy() first so extracted strings/binaries reference a
+          // self-contained buffer, not the task's reused row
+          InternalRow c = row.copy();
+          if (resolveByName) {
+            Object[] vals = new Object[n];
+            for (int i = 0; i < n; i++) {
+              vals[i] = c.isNullAt(srcIdx[i]) ? null : c.get(srcIdx[i], types[i]);
+            }
+            buf.add(new GenericInternalRow(vals));
+          } else if (c.numFields() == n + 1) {
+            // positional fallback: raw MergeRows output with a leading
+            // __row_operation column (pre-r4 shape, kept for safety)
             Object[] vals = new Object[n];
             for (int i = 0; i < n; i++) {
               vals[i] = c.isNullAt(i + 1) ? null : c.get(i + 1, types[i]);
             }
             buf.add(new GenericInternalRow(vals));
           } else {
-            buf.add(row.copy());
+            buf.add(c);
           }
         }
 

@@ -98,3 +98,83 @@ def test_merge_by_url_routes_catalog_idents_to_merge_into(spark, mini_table):
     assert _rows(spark, mini_table) == sorted(
         [("u1", "one", 1), ("u2", "TWO", 2), ("u3", "three", 1), ("u4", "FOUR", 2)]
     )
+
+
+def _groups(spark, ident):
+    """(group -> (version, n_rows)) via the Iceberg-style metadata table."""
+    cat, ns, name = ident.split(".")
+    return {
+        r["group"]: (r["version"], r["n_rows"])
+        for r in spark.table(f"{cat}.{ns}.`{name}$groups`").collect()
+    }
+
+
+def test_merge_rewrites_only_matched_groups(spark, mini_table):
+    """VERDICT r3 #2 (Iceberg-faithful copy-on-write): a MERGE whose source
+    touches rows in ONE storage group must bump only that group's version —
+    runtime group filtering prunes the row-level scan to matched groups and
+    the commit replaces exactly those, leaving every other group's rows and
+    version untouched (the in-memory mirror of the parquet fallback's
+    dirty-bucket mtime test)."""
+    many = [(f"u{i}", f"t{i}", 1) for i in range(32)]
+    _df(spark, many).writeTo(mini_table).append()
+    g0 = _groups(spark, mini_table)
+    assert sum(n for _, n in g0.values()) == 32
+
+    tableio.merge_by_url_iceberg(spark, mini_table, _df(spark, [("u5", "T5", 2)]))
+    g1 = _groups(spark, mini_table)
+    changed = [g for g in g0 if g0[g] != g1[g]]
+    assert len(changed) == 1, f"expected one dirty group, got {changed}"
+    assert g1[changed[0]][0] == g0[changed[0]][0] + 1
+    want = sorted([("u5", "T5", 2)] + [r for r in many if r[0] != "u5"])
+    assert _rows(spark, mini_table) == want
+
+
+def test_delete_rewrites_only_matched_groups(spark, mini_table):
+    many = [(f"u{i}", f"t{i}", 1) for i in range(32)]
+    _df(spark, many).writeTo(mini_table).append()
+    g0 = _groups(spark, mini_table)
+    spark.sql(f"DELETE FROM {mini_table} WHERE url = 'u7'")
+    g1 = _groups(spark, mini_table)
+    changed = [g for g in g0 if g0[g] != g1[g]]
+    assert len(changed) == 1, f"expected one dirty group, got {changed}"
+    assert g1[changed[0]][1] == g0[changed[0]][1] - 1
+    assert _rows(spark, mini_table) == sorted(r for r in many if r[0] != "u7")
+
+
+def test_version_as_of_time_travel(spark, mini_table):
+    """VERDICT r3 #6: copy-on-write groups give O(1) snapshots — write →
+    merge → read at the pre-merge snapshot returns the pre-merge rows;
+    snapshot ids are the commit sequence (0 = empty)."""
+    import pytest as _pytest
+
+    _df(spark, BASE).writeTo(mini_table).append()
+    pre_merge = _rows(spark, mini_table)
+    tableio.merge_by_url_iceberg(spark, mini_table, _df(spark, UPD))
+    post = _rows(spark, mini_table)
+    assert post != pre_merge
+
+    assert spark.sql(f"SELECT * FROM {mini_table} VERSION AS OF 0").count() == 0
+    v1 = sorted(
+        tuple(r) for r in spark.sql(f"SELECT * FROM {mini_table} VERSION AS OF 1").collect()
+    )
+    assert v1 == pre_merge
+    v2 = sorted(
+        tuple(r) for r in spark.sql(f"SELECT * FROM {mini_table} VERSION AS OF 2").collect()
+    )
+    assert v2 == post
+    # current read still tracks HEAD
+    assert _rows(spark, mini_table) == post
+    # nonexistent snapshot fails at analysis, not mid-scan
+    with _pytest.raises(Exception, match="no snapshot"):
+        spark.sql(f"SELECT * FROM {mini_table} VERSION AS OF 99").collect()
+
+
+def test_groups_metadata_table_shape(spark, mini_table):
+    _df(spark, BASE).writeTo(mini_table).append()
+    g = _groups(spark, mini_table)
+    assert set(g) == set(range(8))
+    assert sum(n for _, n in g.values()) == len(BASE)
+    cat, ns, name = mini_table.split(".")
+    snaps = {r["snapshot"] for r in spark.table(f"{cat}.{ns}.`{name}$groups`").collect()}
+    assert snaps == {1}  # one commit so far, all groups agree
