@@ -65,3 +65,153 @@ def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
     header; timestamps parsed in the session timezone, which the engine
     pins to UTC)."""
     return spark.read.schema(EVENTS_CSV_SCHEMA).option("header", "true").csv(path)
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500) — the actual Common Crawl interchange format (VERDICT r3
+# next-round #3): gzip MEMBERS, one record per member, each record =
+# `WARC/1.0` header block + CRLF CRLF + content block + CRLF CRLF; response
+# records carry an HTTP response whose body is the page. Reference analog:
+# the container dispatch of _enumerate_input (bilingual_ocr.py:253-282).
+#
+# Scale shape: .warc.gz is not byte-splittable, so parallelism here is
+# per-FILE (binaryFile scan -> one Arrow-batched parse task per archive),
+# which matches how Common Crawl ships data (~1 GB archives, tens of
+# thousands of them — far more files than executors at any fleet size). The
+# production refinement is offset-indexed range reads (CC's cdx index gives
+# per-record member offsets), which changes the scan, not this parser.
+# Corrupt members become error rows, never task failures; a corrupt member
+# also ends that FILE's scan (gzip gives no resync point without an index —
+# exactly why cdx offsets exist), which the error row records.
+# ---------------------------------------------------------------------------
+
+WARC_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, lang string, status string"
+)
+
+
+def encode_warc_record(
+    url: str, warc_ts, html: bytes, lang: str | None = None
+) -> bytes:
+    """One WARC/1.0 response record (uncompressed): WARC headers + an HTTP
+    response envelope around the html bytes. ``warc_ts`` is a datetime
+    (UTC). Language travels in WARC-Identified-Content-Language, the field
+    Common Crawl itself uses."""
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        + b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+    )
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Target-URI: " + url.encode(),
+        b"WARC-Date: " + warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+    ]
+    if lang is not None:
+        headers.append(b"WARC-Identified-Content-Language: " + lang.encode())
+    headers += [
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def write_pages_warc(rows, path: str, records_per_file: int = 0) -> None:
+    """Fixture/driver-side writer: rows of (url, warc_ts, html, lang) ->
+    one or more .warc.gz files, each record its own gzip member (the spec's
+    record-at-time compression, what makes cdx offset indexing possible).
+    ``records_per_file`` splits the archive (0 = single file)."""
+    import gzip
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    chunks: list[list] = []
+    rows = list(rows)
+    step = records_per_file or len(rows) or 1
+    for i in range(0, len(rows), step):
+        chunks.append(rows[i : i + step])
+    for fi, chunk in enumerate(chunks):
+        out = bytearray()
+        for url, warc_ts, html, lang in chunk:
+            rec = encode_warc_record(url, warc_ts, bytes(html), lang)
+            out += gzip.compress(rec)
+        with open(os.path.join(path, f"part-{fi:05d}.warc.gz"), "wb") as f:
+            f.write(bytes(out))
+
+
+def _parse_warc_stream(blob: bytes, src: str):
+    """Yield (url, warc_ts, html, lang, status) tuples from a multi-member
+    .warc.gz byte string. Non-response records are skipped; malformed
+    members/records yield error rows tagged with the source file."""
+    import zlib
+    from datetime import datetime
+
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            rec = d.decompress(blob[pos:])
+            if not d.eof:
+                raise zlib.error("truncated gzip member")
+        except zlib.error:
+            yield (src, None, None, None, "error:corrupt gzip member")
+            return  # no resync point without an offset index
+        consumed = len(blob) - pos - len(d.unused_data)
+        pos += consumed
+        sep = rec.find(b"\r\n\r\n")
+        if sep < 0 or not rec.startswith(b"WARC/"):
+            yield (src, None, None, None, "error:malformed warc header")
+            continue
+        fields = {}
+        for line in rec[:sep].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().lower()] = v.strip()
+        if fields.get(b"warc-type") != b"response":
+            continue  # warcinfo/request/metadata records: not pages
+        url = fields.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        try:
+            ts = datetime.strptime(
+                fields[b"warc-date"].decode(), "%Y-%m-%dT%H:%M:%SZ"
+            )
+            ln = int(fields[b"content-length"])
+        except (KeyError, ValueError):
+            yield (url or src, None, None, None, "error:malformed warc fields")
+            continue
+        content = rec[sep + 4 : sep + 4 + ln]
+        if len(content) < ln:
+            yield (url or src, None, None, None, "error:truncated record")
+            continue
+        hsep = content.find(b"\r\n\r\n")
+        if not content.startswith(b"HTTP/") or hsep < 0:
+            yield (url or src, None, None, None, "error:malformed http envelope")
+            continue
+        lang = fields.get(b"warc-identified-content-language")
+        yield (
+            url,
+            ts,
+            content[hsep + 4 :],
+            lang.decode("utf-8", "replace") if lang is not None else None,
+            "ok",
+        )
+
+
+def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
+    """.warc.gz archive dir -> canonical pages frame (url, warc_ts,
+    html binary, lang, status). One parse task per archive file
+    (binaryFile scan), Arrow-batched; corrupt members -> error rows."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "html", "lang", "status")}
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                for tup in _parse_warc_stream(bytes(blob), str(src)):
+                    for k, v in zip(rows, tup):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(f"{path}/*.warc.gz")
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WARC_PAGES_SCHEMA
+    )

@@ -86,3 +86,95 @@ def test_orc_sink_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in out.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b and len(a) == 50
+
+
+def _pages_rows(spark, pages_unit_path):
+    return [
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["lang"])
+        for r in spark.read.parquet(pages_unit_path).collect()
+    ]
+
+
+def test_warc_roundtrip_byte_identical(spark, pages_unit_path, tmp_path):
+    """VERDICT r3 #3: the parquet fixture written as real multi-member
+    .warc.gz (one gzip member per record, split over several archives) and
+    read back must carry identical url/warc_ts/html/lang — and extraction
+    over the WARC-read pages is byte-identical to the parquet path."""
+    wd = str(tmp_path / "warc")
+    rows = _pages_rows(spark, pages_unit_path)
+    sources.write_pages_warc(rows, wd, records_per_file=17)
+    got = sources.read_pages_warc(spark, wd)
+    assert got.filter("status != 'ok'").count() == 0
+    back = {
+        r["url"]: (r["warc_ts"], bytes(r["html"]), r["lang"])
+        for r in got.collect()
+    }
+    assert back == {u: (ts, h, lg) for u, ts, h, lg in rows}
+
+    def by_url(df):
+        return {
+            r["url"]: (r["extracted_text"], r["status"], r["n_kept"])
+            for r in run_fused(df).collect()
+        }
+
+    assert by_url(spark.read.parquet(pages_unit_path)) == by_url(
+        got.where("status = 'ok'").select("url", "warc_ts", "html", "lang")
+    )
+
+
+def test_warc_corrupt_and_foreign_records(spark, pages_unit_path, tmp_path):
+    """Corrupt gzip members -> error rows (and end that archive's scan, as
+    gzip allows no resync without a cdx offset index); warcinfo/request
+    records are skipped; records after the corrupt member in OTHER files
+    still parse."""
+    import gzip
+
+    from datetime import datetime
+
+    wd = str(tmp_path / "warc")
+    rows = _pages_rows(spark, pages_unit_path)[:6]
+    sources.write_pages_warc(rows[:3], wd)
+
+    info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    good = sources.encode_warc_record(
+        "https://after.example/x", datetime(2026, 1, 2, 3, 4, 5), b"<p>ok</p>", "en"
+    )
+    bad_then_good = gzip.compress(info) + b"\x1f\x8b\x08CORRUPT" + gzip.compress(good)
+    with open(f"{wd}/part-zz.warc.gz", "wb") as f:
+        f.write(bad_then_good)
+
+    got = sources.read_pages_warc(spark, wd).collect()
+    ok = [r for r in got if r["status"] == "ok"]
+    errs = [r for r in got if r["status"] != "ok"]
+    assert {r["url"] for r in ok} == {u for u, *_ in rows[:3]}
+    assert len(errs) == 1 and errs[0]["status"] == "error:corrupt gzip member"
+    assert errs[0]["url"].endswith("part-zz.warc.gz")
+    # the good record AFTER the corrupt member in the same file is lost by
+    # design (no resync) — pinned so a future indexed reader shows up here
+    assert all(r["url"] != "https://after.example/x" for r in ok)
+
+
+def test_warc_truncated_and_malformed_records(spark, tmp_path):
+    import gzip
+
+    from datetime import datetime
+
+    wd = str(tmp_path / "warc2")
+    __import__("os").makedirs(wd)
+    rec = sources.encode_warc_record(
+        "https://t.example/1", datetime(2026, 1, 1), b"<p>x</p>", "en"
+    )
+    cases = [
+        gzip.compress(rec[: len(rec) // 2]),      # truncated record body
+        gzip.compress(b"NOTWARC\r\n\r\nrest"),     # bad magic
+        gzip.compress(
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+            b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+        ),                                         # response without WARC-Date
+    ]
+    for i, blob in enumerate(cases):
+        with open(f"{wd}/c{i}.warc.gz", "wb") as f:
+            f.write(blob)
+    got = sources.read_pages_warc(spark, wd).collect()
+    assert len(got) == 3
+    assert all(r["status"].startswith("error:") for r in got)
