@@ -1709,6 +1709,40 @@ def _q_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(payloads)
 
 
+def _q_image_decode_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG gate query (r4): the same hash-pinnable
+    DC-only construction as image_decode_jpeg, but written through a real
+    progressive scan script (DC first at Al=1, AC band first passes, DC +
+    AC refinements) by engine.jpeg.build_jpeg_progressive and decoded via
+    the progressive scan-accumulation path. Decode must recover the same
+    flat value v = 32 + doc_id % 95, so the two queries share one oracle.
+    Every 17th payload truncated mid-DQT (byte 8, the same cut the
+    baseline gate uses) → deterministic 'error:truncated segment' rows."""
+    from engine.jpeg import build_jpeg_progressive
+    from engine.multimodal import decode_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = 4 + did % 8, 3 + did % 5
+                v = 32 + did % 95
+                blk = [v - 128] + [0] * 63
+                mcus = ((w + 7) // 8) * ((h + 7) // 8)
+                jp = build_jpeg_progressive(w, h, [8] * 64, [[list(blk)] * mcus])
+                ids.append(did)
+                payloads.append(jp[:8] if did % 17 == 0 else jp)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return decode_images(payloads)
+
+
 _SQL_IMG_DECODE_JPEG_DUCK = f"""
 WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h,
                   32 + doc_id % 95 AS v FROM documents),
@@ -2354,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_bmp": _q_image_decode_bmp,
         "image_decode_gif": _q_image_decode_gif,
         "image_decode_jpeg": _q_image_decode_jpeg,
+        "image_decode_jpeg_prog": _q_image_decode_jpeg_prog,
         "audio_decode": _q_audio_decode,
         "image_resize_nn": _q_image_resize_nn,
         # JVM-native decode twins (javax.imageio / javax.sound — VERDICT r3 #1)
@@ -2444,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_bmp": _SQL_IMG_DECODE_BMP_DUCK,
         "image_decode_gif": _SQL_IMG_DECODE_GIF_DUCK,
         "image_decode_jpeg": _SQL_IMG_DECODE_JPEG_DUCK,
+        "image_decode_jpeg_prog": _SQL_IMG_DECODE_JPEG_DUCK,
         "audio_decode": _SQL_AUDIO_DECODE_DUCK,
         "image_resize_nn": _SQL_IMG_RESIZE_NN_DUCK,
         # JVM decode twins: identical constructions -> identical oracles,

@@ -5,8 +5,8 @@ Images/audio/video travel as opaque ``binary`` columns with typed metadata
 shape, ``mapInPandas`` signature, partition behavior — is real and tested,
 and since r3 the decode itself is REAL for five image formats and one audio
 format, all pure Python with no media library: PNM (PGM/PPM), PNG (zlib +
-scanline unfiltering), BMP (24-bit BI_RGB), GIF (real LZW), baseline JPEG
-(``engine/jpeg``), and 16-bit PCM WAV. Remaining formats (WebP/AVIF, video
+scanline unfiltering), BMP (24-bit BI_RGB), GIF (real LZW), JPEG
+(baseline + progressive, ``engine/jpeg``), and 16-bit PCM WAV. Remaining formats (WebP/AVIF, video
 frame extraction) stay behind an import gate with deterministic fakes so
 outputs remain reproducible and oracle-checkable.
 """
@@ -598,7 +598,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int]:
 def decode_image(payload: bytes):
     """Decode an image payload by magic byte dispatch.
 
-    PNM, PNG, BMP, GIF (real LZW), and baseline JPEG (engine/jpeg) all
+    PNM, PNG, BMP, GIF (real LZW), and JPEG (baseline + progressive,
+    engine/jpeg) all
     decode for REAL via pure-Python parsers — no media library needed; all
     five paths are live and oracle-checked in this sandbox. Remaining
     formats (WebP/AVIF/...) require PIL, absent from this container, and

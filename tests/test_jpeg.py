@@ -101,11 +101,13 @@ def test_corrupt_and_out_of_scope_rejected():
         decode_jpeg(jp[: len(jp) // 2])
     with pytest.raises(JpegError, match="not a JPEG"):
         decode_jpeg(b"XX" + jp[2:])
-    # progressive marker (SOF2) rejected, not mis-decoded
+    # a baseline stream relabeled SOF2 is spec-invalid (a progressive
+    # scan carries either DC or one AC band, never Ss=0..Se=63) and must
+    # fail loudly, not mis-decode
     prog = bytearray(jp)
     sof0 = prog.find(b"\xff\xc0")
     prog[sof0 + 1] = 0xC2
-    with pytest.raises(JpegError, match="non-baseline"):
+    with pytest.raises(JpegError, match="spectral"):
         decode_jpeg(bytes(prog))
 
 
@@ -191,3 +193,114 @@ def test_standalone_markers_and_fill_bytes_before_sos():
     assert decode_jpeg(jp[:2] + inj + jp[2:]) == plain
     # fill bytes directly before an existing marker (pad mid-stream)
     assert decode_jpeg(jp[:2] + b"\xff" + jp[2:]) == plain
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — r4. The progressive builder writes the SAME chosen
+# coefficients through arbitrary scan scripts, so progressive decode must
+# equal baseline decode EXACTLY (same coefficients -> same IDCT inputs).
+# ---------------------------------------------------------------------------
+
+from engine.jpeg import build_jpeg_progressive, default_progressive_scans  # noqa: E402
+
+
+def _rand_blocks(n, lo=-20, hi=20, seed=0):
+    rng = random.Random(seed)
+    return [[rng.randrange(lo, hi + 1) for _ in range(64)] for _ in range(n)]
+
+
+def test_progressive_equals_baseline_gray():
+    for seed in range(6):
+        q = [1 + seed % 4] * 32 + [2] * 32
+        blks = _rand_blocks(6, seed=seed)
+        b = decode_jpeg(build_jpeg(24, 16, q, [[list(x) for x in blks]]))
+        p = decode_jpeg(build_jpeg_progressive(24, 16, q, [[list(x) for x in blks]]))
+        assert b == p, f"seed {seed}"
+
+
+def test_progressive_equals_baseline_color_420_and_oddsize():
+    """4:2:0 color and non-multiple-of-8 dims: the non-interleaved AC block
+    grid is SMALLER than the MCU-padded grid (padding blocks get no AC data)
+    — the cropped pixels must still match baseline exactly."""
+    random.seed(3)
+    q = [1 + random.randrange(3) for _ in range(64)]
+    yb = _rand_blocks(4, -10, 10, seed=31)
+    cb, cr = _rand_blocks(1, -10, 10, seed=32), _rand_blocks(1, -10, 10, seed=33)
+    for w, h in ((16, 16), (20, 12), (9, 11)):
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        ybl = _rand_blocks(4 * mx * my, -10, 10, seed=w * h)
+        cbl = _rand_blocks(mx * my, -10, 10, seed=w * h + 1)
+        crl = _rand_blocks(mx * my, -10, 10, seed=w * h + 2)
+        args = (w, h, q, [[list(x) for x in ybl], [list(x) for x in cbl],
+                          [list(x) for x in crl]])
+        kw = {"sampling": [(2, 2), (1, 1), (1, 1)]}
+        assert decode_jpeg(build_jpeg(*args, **kw)) == decode_jpeg(
+            build_jpeg_progressive(*args, **kw)
+        ), (w, h)
+
+
+def test_progressive_deep_successive_approximation():
+    """Three-level successive approximation (Al=2 -> 1 -> 0) for both DC and
+    AC: every refinement pass must land exactly back on the coefficients."""
+    scans = [
+        ([0], 0, 0, 0, 2),
+        ([0], 1, 63, 0, 2),
+        ([0], 0, 0, 2, 1),
+        ([0], 1, 63, 2, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    for seed in range(4):
+        q = [1] * 64
+        blks = _rand_blocks(4, -30, 30, seed=100 + seed)
+        b = decode_jpeg(build_jpeg(32, 8, q, [[list(x) for x in blks]]))
+        p = decode_jpeg(
+            build_jpeg_progressive(32, 8, q, [[list(x) for x in blks]], scans=scans)
+        )
+        assert b == p, f"seed {seed}"
+
+
+def test_progressive_spectral_band_splits():
+    """Multiple spectral bands (1-2 / 3-10 / 11-63) with refinement."""
+    scans = [
+        ([0], 0, 0, 0, 1),
+        ([0], 1, 2, 0, 1),
+        ([0], 3, 10, 0, 1),
+        ([0], 11, 63, 0, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 11, 63, 1, 0),
+        ([0], 1, 2, 1, 0),
+        ([0], 3, 10, 1, 0),
+    ]
+    q = [2] * 64
+    blks = _rand_blocks(6, seed=77)
+    b = decode_jpeg(build_jpeg(48, 8, q, [[list(x) for x in blks]]))
+    p = decode_jpeg(
+        build_jpeg_progressive(48, 8, q, [[list(x) for x in blks]], scans=scans)
+    )
+    assert b == p
+
+
+def test_progressive_restart_markers():
+    q = [2] * 64
+    blks = _rand_blocks(8, seed=55)
+    plain = decode_jpeg(build_jpeg(64, 8, q, [[list(x) for x in blks]]))
+    for interval in (2, 3):
+        rst = decode_jpeg(
+            build_jpeg_progressive(
+                64, 8, q, [[list(x) for x in blks]], restart_interval=interval
+            )
+        )
+        assert rst == plain, f"interval {interval}"
+
+
+def test_progressive_truncation_and_garbage_are_errors():
+    q = [8] * 64
+    blks = _rand_blocks(4, seed=9)
+    jp = build_jpeg_progressive(32, 8, q, [[list(x) for x in blks]])
+    for cut in (len(jp) // 3, len(jp) // 2, len(jp) - 3):
+        with pytest.raises(JpegError):
+            decode_jpeg(jp[:cut])
+    # scans without EOI
+    with pytest.raises(JpegError):
+        decode_jpeg(jp[:-2] + b"\x00\x00")

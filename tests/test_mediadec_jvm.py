@@ -187,3 +187,35 @@ def test_jvm_decode_plan_has_no_python_stage(spark, tmp_path):
     )
     for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
         assert op not in plan, plan
+
+
+def test_jvm_decodes_progressive_jpeg(spark):
+    """Cross-decoder pin for progressive SOF2 (r4): libjpeg (via
+    javax.imageio) must decode our progressive constructions — DC-only
+    streams byte-exactly (float-exact subset), general streams with
+    identical structure; and Python progressive decode == Python baseline
+    decode is pinned in tests/test_jpeg.py, closing the triangle."""
+    import random
+
+    from engine.jpeg import build_jpeg, build_jpeg_progressive
+
+    random.seed(13)
+    q = [8] * 64
+    flat = [[16] + [0] * 63, [-32] + [0] * 63]
+    dc_base = build_jpeg(10, 6, q, [[list(b) for b in flat]])
+    dc_prog = build_jpeg_progressive(10, 6, q, [[list(b) for b in flat]])
+    rq = [1 + random.randrange(4) for _ in range(64)]
+    rblks = [[random.randrange(-15, 16) for _ in range(64)] for _ in range(6)]
+    rnd_base = build_jpeg(24, 16, rq, [[list(b) for b in rblks]])
+    rnd_prog = build_jpeg_progressive(24, 16, rq, [[list(b) for b in rblks]])
+
+    df = _payload_df(spark, [dc_base, dc_prog, rnd_base, rnd_prog])
+    py, jv = _rows(decode_images(df)), _rows(decode_images_jvm(df))
+    # DC-only: all four decoders (py-base, py-prog, jvm-base, jvm-prog)
+    # produce the SAME pixels
+    assert py[0] == py[1] == jv[0] == jv[1] and py[0][0] == "ok"
+    # general: python prog == python base exactly; jvm prog == jvm base
+    # exactly; py vs jvm structural (IDCT rounding may differ)
+    assert py[2] == py[3] and py[2][0] == "ok"
+    assert jv[2] == jv[3] and jv[2][0] == "ok"
+    assert py[2][:4] == jv[2][:4]
