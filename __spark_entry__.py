@@ -972,6 +972,23 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
 """
 
+# Spark production form (VERDICT r3 #7): shingles built with the SAME
+# in-row array construction as minhash (engine/minhash.SHINGLES_EXPR) —
+# no posexplode, no window Exchange; the doc_id bound pushes to the scan
+# and the only explode is over the already-bounded candidate set, right
+# before the set-intersection join that genuinely needs shingle rows.
+# _JACCARD_BODY is shared verbatim with the oracle (its doc_id filter is
+# a no-op here — already applied at the scan).
+_JACCARD_SPARK_INROW = (
+    "WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents\n"
+    "           WHERE doc_id < 150),\n"
+    f"arr AS (SELECT doc_id, {_mh.SHINGLES_EXPR} AS sh FROM t\n"
+    "        WHERE size(toks) >= 3),\n"
+    "shingles AS (SELECT doc_id, shingle FROM arr\n"
+    "             LATERAL VIEW explode(sh) x AS shingle)\n"
+    + _JACCARD_BODY
+)
+
 # SimHash-style fingerprint: 16 hex-digit dimensions of md5(token), majority bit
 # Spark production path is shuffle-free (same reasoning as MinHash): token
 # hashes stay an ARRAY in the row — md5 once per token via transform, then
@@ -2411,7 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _sql_query(_MINHASH_FAST_PAIRS, "documents"),
         "dedup_clusters": _q_dedup_clusters,
         "neardedup_keep": _q_neardedup_keep,
-        "ngram_jaccard_pairs": _sql_query(_SHINGLES_SPARK + _JACCARD_BODY, "documents"),
+        "ngram_jaccard_pairs": _sql_query(_JACCARD_SPARK_INROW, "documents"),
         "simhash_fingerprint": _sql_query(_SIMHASH_SPARK, "documents"),
         "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
         "embedding_near_dup": _sql_query(_NEARDUP_SPARK, "embeddings"),

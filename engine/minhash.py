@@ -34,12 +34,18 @@ ROWS_PER_BAND = 2
 # incremental streaming path (ADVICE r3 #1) so both cap identically.
 LSH_BUCKET_CAP = 50
 
+# in-row token 3-shingle array over a `toks` array column — the ONE shingle
+# construction (r4: also reused by the ngram_jaccard_pairs query, which
+# previously rebuilt shingles via posexplode + a window)
+SHINGLES_EXPR = (
+    "transform(sequence(0, size(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+
 # per-shingle 32-bit hash array over a `toks` array column
 HS_EXPR = (
-    "transform(sequence(0, size(toks) - 3), "
-    "i -> CAST(conv(substring(md5("
-    "toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]"
-    "), 1, 8), 16, 10) AS BIGINT))"
+    f"transform({SHINGLES_EXPR}, "
+    "s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))"
 )
 
 
