@@ -1552,7 +1552,9 @@ FROM px
 """
 
 
-def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _png_payloads(
+    spark: SparkSession, sf_dir: str, interlace: bool = False
+) -> DataFrame:
     """Shared PNG gate construction: REAL zlib-compressed, per-scanline-
     filtered PNGs built in an Arrow stage — the filter type cycles
     (doc_id + row) % 5 so all five spec filters (None/Sub/Up/Average/Paeth)
@@ -1586,6 +1588,7 @@ def _png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 png = encode_png(
                     w, h, 3, s.encode("ascii"),
                     filter_of_row=lambda r, d=did: (d + r) % 5,
+                    interlace=interlace,
                 )
                 payloads.append(png[:16] if did % 17 == 0 else png)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -1603,6 +1606,19 @@ def _q_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine.multimodal import decode_images
 
     return decode_images(_png_payloads(spark, sf_dir))
+
+
+def _q_image_decode_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG gate query (r4, VERDICT r3 #8): the same
+    real-PNG construction as image_decode_png but written with Adam7
+    pass-ordered, independently-filtered scanlines (filters still cycle
+    over all five types across the pass scanlines). Decode must reassemble
+    the interlaced passes back into the exact raster, so this query shares
+    image_decode_png's oracle verbatim — the pre-compression pixel sha is
+    identical."""
+    from engine.multimodal import decode_images
+
+    return decode_images(_png_payloads(spark, sf_dir, interlace=True))
 
 
 def _q_image_decode_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "image_decode": _q_image_decode,
         "image_decode_png": _q_image_decode_png,
+        "image_decode_png_adam7": _q_image_decode_png_adam7,
         "image_decode_bmp": _q_image_decode_bmp,
         "image_decode_gif": _q_image_decode_gif,
         "image_decode_jpeg": _q_image_decode_jpeg,
@@ -2542,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
         "image_decode": _SQL_IMG_DECODE_DUCK,
         "image_decode_png": _SQL_IMG_DECODE_PNG_DUCK,
+        "image_decode_png_adam7": _SQL_IMG_DECODE_PNG_DUCK,
         "image_decode_bmp": _SQL_IMG_DECODE_BMP_DUCK,
         "image_decode_gif": _SQL_IMG_DECODE_GIF_DUCK,
         "image_decode_jpeg": _SQL_IMG_DECODE_JPEG_DUCK,

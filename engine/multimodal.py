@@ -89,8 +89,8 @@ def decode_pnm(payload: bytes) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------------
 # PNG (VERDICT r2 #3): REAL pure-Python decode of the dominant web format —
 # stdlib zlib inflate + per-scanline unfiltering, no media library. 8-bit
-# depth, color types 0/2/4/6 (gray/RGB/gray+alpha/RGBA), non-interlaced;
-# anything else raises ImageDecodeError (→ error:* rows through the gate).
+# depth, color types 0/2/4/6 (gray/RGB/gray+alpha/RGBA), non-interlaced AND
+# Adam7-interlaced (r4); anything else raises ImageDecodeError (→ error:* rows through the gate).
 # CRCs are verified, so corrupt payloads fail loudly and deterministically.
 # ---------------------------------------------------------------------------
 import struct
@@ -166,25 +166,72 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass (PNG spec
+# §8.2). Passes whose sub-image is empty contribute NO scanlines.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_passes(w: int, h: int):
+    """Yield (x0, y0, dx, dy, pass_w, pass_h) for non-empty passes."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def encode_png(
-    width: int, height: int, channels: int, pixels: bytes, filter_of_row=None
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filter_of_row=None,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal PNG encoder (fixture/synthesis twin of decode_png): 8-bit,
     one IDAT, no ancillary chunks. ``filter_of_row(r) -> 0..4`` selects the
-    scanline filter (default 0) so tests cover every filter type."""
+    scanline filter (default 0; r is the running scanline index across
+    Adam7 passes when ``interlace``) so tests cover every filter type.
+    ``interlace=True`` writes Adam7 pass-ordered scanlines (r4)."""
     color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dimensions")
     raw = bytearray()
-    prev = bytes(stride)
-    for r in range(height):
-        row = pixels[r * stride : (r + 1) * stride]
-        ft = filter_of_row(r) if filter_of_row else 0
-        raw.append(ft)
-        raw += _filter_row(ft, row, prev, channels)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    if not interlace:
+        prev = bytes(stride)
+        for r in range(height):
+            row = pixels[r * stride : (r + 1) * stride]
+            ft = filter_of_row(r) if filter_of_row else 0
+            raw.append(ft)
+            raw += _filter_row(ft, row, prev, channels)
+            prev = row
+    else:
+        r = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            prev = bytes(pw * channels)
+            for py in range(ph):
+                y = y0 + py * dy
+                row = b"".join(
+                    pixels[(y * width + x0 + px * dx) * channels :][:channels]
+                    for px in range(pw)
+                )
+                ft = filter_of_row(r) if filter_of_row else 0
+                raw.append(ft)
+                raw += _filter_row(ft, row, prev, channels)
+                prev = row
+                r += 1
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -194,8 +241,9 @@ def encode_png(
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL decode of an 8-bit non-interlaced PNG: chunk walk with CRC
-    verification, zlib inflate, scanline unfiltering. Returns
+    """REAL decode of an 8-bit PNG (non-interlaced or Adam7-interlaced,
+    r4): chunk walk with CRC verification, zlib inflate, per-pass scanline
+    unfiltering + deinterlace scatter. Returns
     (width, height, channels, pixel_bytes) row-major. Raises
     ImageDecodeError on any malformation (corrupt → error rows)."""
     if payload[:8] != _PNG_MAGIC:
@@ -220,14 +268,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise ImageDecodeError(f"unsupported bit depth {depth}")
             if comp != 0 or filt != 0:
                 raise ImageDecodeError("unsupported compression/filter method")
-            if interlace != 0:
-                raise ImageDecodeError("unsupported interlaced PNG")
+            if interlace not in (0, 1):
+                raise ImageDecodeError(f"bad interlace method {interlace}")
             channels = _PNG_CHANNELS.get(color)
             if channels is None:
                 raise ImageDecodeError(f"unsupported color type {color}")
             if w <= 0 or h <= 0:
                 raise ImageDecodeError("non-positive dimensions")
-            dims = (w, h, channels)
+            dims = (w, h, channels, interlace)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -236,23 +284,49 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if dims is None or not seen_end or not idat:
         raise ImageDecodeError("truncated stream")
-    w, h, channels = dims
+    w, h, channels, interlace = dims
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ImageDecodeError("bad deflate stream") from e
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ImageDecodeError(
-            f"truncated raster: {len(raw)}/{(stride + 1) * h} bytes"
-        )
-    out = bytearray()
-    prev = bytes(stride)
-    for r in range(h):
-        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        _unfilter_row(raw[r * (stride + 1)], row, prev, channels)
-        out += row
-        prev = bytes(row)
+    if not interlace:
+        stride = w * channels
+        if len(raw) != (stride + 1) * h:
+            raise ImageDecodeError(
+                f"truncated raster: {len(raw)}/{(stride + 1) * h} bytes"
+            )
+        out = bytearray()
+        prev = bytes(stride)
+        for r in range(h):
+            row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+            _unfilter_row(raw[r * (stride + 1)], row, prev, channels)
+            out += row
+            prev = bytes(row)
+        return w, h, channels, bytes(out)
+    # Adam7 (r4): each non-empty pass is an independently-filtered
+    # sub-image; unfilter per pass, then scatter samples back to their
+    # (y0 + py*dy, x0 + px*dx) positions in the full raster
+    want = sum(ph * (1 + pw * channels) for _, _, _, _, pw, ph in
+               _adam7_passes(w, h))
+    if len(raw) != want:
+        raise ImageDecodeError(f"truncated raster: {len(raw)}/{want} bytes")
+    out = bytearray(w * h * channels)
+    pos2 = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+        stride = pw * channels
+        prev = bytes(stride)
+        for py in range(ph):
+            ft = raw[pos2]
+            row = bytearray(raw[pos2 + 1 : pos2 + 1 + stride])
+            pos2 += 1 + stride
+            _unfilter_row(ft, row, prev, channels)
+            y = y0 + py * dy
+            for px in range(pw):
+                x = x0 + px * dx
+                out[(y * w + x) * channels : (y * w + x + 1) * channels] = row[
+                    px * channels : (px + 1) * channels
+                ]
+            prev = bytes(row)
     return w, h, channels, bytes(out)
 
 

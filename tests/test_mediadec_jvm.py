@@ -219,3 +219,20 @@ def test_jvm_decodes_progressive_jpeg(spark):
     assert py[2] == py[3] and py[2][0] == "ok"
     assert jv[2] == jv[3] and jv[2][0] == "ok"
     assert py[2][:4] == jv[2][:4]
+
+
+def test_jvm_decodes_adam7_interlaced_png(spark):
+    """Cross-decoder pin for Adam7 (r4): javax.imageio's PNG reader
+    deinterlaces natively, so both paths must produce the IDENTICAL raster
+    sha for interlaced payloads (lossless format — exact equality)."""
+    payloads = []
+    for w, h, c in ((8, 8, 3), (13, 7, 3), (16, 16, 4), (5, 3, 1)):
+        pix = _gray(w * h * c, seed=w * 100 + h)
+        payloads.append(
+            encode_png(w, h, c, pix, filter_of_row=lambda r: r % 5,
+                       interlace=True)
+        )
+    df = _payload_df(spark, payloads)
+    py, jv = _rows(decode_images(df)), _rows(decode_images_jvm(df))
+    assert py == jv
+    assert all(v[0] == "ok" for v in py.values()), py
