@@ -115,6 +115,36 @@ def main() -> None:
         timings[name] = round(min(q_runs), 3)
         spread[name] = round(max(q_runs) - min(q_runs), 3)
 
+    # --- media decode A/B (r4): JVM javax.imageio twin vs the pure-Python
+    # oracle decoder, same 96x64 real-PNG corpus — the r3 perf-weak fix,
+    # reported as top-level docs/sec so the headline query set stays
+    # comparable across rounds. Full fresh-JVM interleaved A/B lives in
+    # BENCH/bench_media_decode.py; this inline probe tracks the ratio.
+    media_png_python_dps = None
+    media_png_jvm_dps = None
+    try:
+        from BENCH.bench_media_decode import _build_corpus
+        from engine.multimodal import decode_images, decode_images_jvm
+
+        media_dir = "/tmp/spark_graft_bench_media_v1"
+        marker = os.path.join(media_dir, "built_2000_96x64")
+        if not os.path.exists(marker):
+            os.makedirs(media_dir, exist_ok=True)
+            _build_corpus(media_dir, 2000, 96, 64)
+            open(marker, "w").close()
+        pngs = spark.read.parquet(f"{media_dir}/png.parquet")
+        n_media = pngs.count()
+        for fn in (decode_images, decode_images_jvm):  # warm both paths
+            _force(fn(pngs.limit(128)))
+        t0 = time.monotonic()
+        _force(decode_images(pngs))
+        media_png_python_dps = round(n_media / (time.monotonic() - t0), 1)
+        t0 = time.monotonic()
+        _force(decode_images_jvm(pngs))
+        media_png_jvm_dps = round(n_media / (time.monotonic() - t0), 1)
+    except Exception:  # noqa: BLE001 — bench must still emit its JSON line
+        pass
+
     # local[8] flagship in a fresh subprocess (one JVM can't switch local[N];
     # CLAUDE.md measurement discipline) — makes per-round scaling regressions
     # visible in BENCH_r{N}.json without rerunning BENCH/bench_scaling.py.
@@ -155,6 +185,8 @@ def main() -> None:
                 "extract_docs_per_sec": docs_per_sec,
                 "extract_fused_local8_wall_sec": local8_wall_sec,
                 "extract_docs_per_sec_local8": local8_docs_per_sec,
+                "media_decode_png_python_docs_per_sec": media_png_python_dps,
+                "media_decode_png_jvm_docs_per_sec": media_png_jvm_dps,
             }
         )
     )

@@ -515,8 +515,18 @@ def encode_gif(width: int, height: int, palette: bytes, indices: list[int]) -> b
     return encode_gif_animated(width, height, palette, [indices])
 
 
-def _gif_image_block(width: int, height: int, k: int, indices: list[int]) -> bytes:
-    """Image descriptor + LZW-compressed, sub-blocked index data."""
+def _gif_image_block(
+    width: int, height: int, k: int, indices: list[int], interlace: bool = False
+) -> bytes:
+    """Image descriptor + LZW-compressed, sub-blocked index data. With
+    ``interlace``, rows are written in the spec's four-pass order (0/8,
+    4/8, 2/4, 1/2) and the descriptor's interlace flag is set (r4)."""
+    if interlace:
+        rows = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(start, height, step):
+                rows.extend(indices[y * width : (y + 1) * width])
+        indices = rows
     mcs = max(2, k)  # LZW min code size (spec: >= 2)
     lzw = _lzw_encode(indices, mcs)
     blocks = bytearray()
@@ -527,7 +537,7 @@ def _gif_image_block(width: int, height: int, k: int, indices: list[int]) -> byt
     blocks.append(0)
     return (
         b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + struct.pack("<HHHHB", 0, 0, width, height, 0x40 if interlace else 0)
         + bytes([mcs])
         + bytes(blocks)
     )
@@ -539,10 +549,12 @@ def encode_gif_animated(
     palette: bytes,
     frames: list[list[int]],
     delays_cs: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Multi-frame GIF89a (fixture twin of the gif_frames demux): one image
     descriptor per frame, shared global color table, optional per-frame
-    graphic-control extensions carrying delays (centiseconds)."""
+    graphic-control extensions carrying delays (centiseconds); with
+    ``interlace``, frames are written in four-pass interlaced row order."""
     import math
 
     n_colors = len(palette) // 3
@@ -559,7 +571,7 @@ def encode_gif_animated(
             raise ValueError("index buffer does not match dimensions")
         if delays_cs is not None:
             out += b"\x21\xf9\x04\x00" + struct.pack("<H", delays_cs[fi]) + b"\x00\x00"
-        out += _gif_image_block(width, height, k, indices)
+        out += _gif_image_block(width, height, k, indices, interlace=interlace)
     out += b"\x3b"
     return bytes(out)
 
@@ -603,8 +615,7 @@ def _gif_frame_iter(payload: bytes):
         pos += 10
         if w <= 0 or h <= 0:
             raise ImageDecodeError("non-positive dimensions")
-        if ipacked & 0x40:
-            raise ImageDecodeError("unsupported interlaced GIF")
+        interlaced = bool(ipacked & 0x40)
         ct = gct
         if ipacked & 0x80:
             n = 3 * (2 << (ipacked & 0x07))
@@ -634,6 +645,19 @@ def _gif_frame_iter(payload: bytes):
         indices = _lzw_decode(bytes(lzw), mcs)
         if len(indices) < w * h:
             raise ImageDecodeError(f"truncated raster: {len(indices)}/{w * h} px")
+        if interlaced:
+            # GIF interlace (r4): rows are stored in four passes —
+            # every-8th from 0, every-8th from 4, every-4th from 2,
+            # every-2nd from 1 (spec appendix E); scatter them back
+            deinter = [0] * (w * h)
+            src_row = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, h, step):
+                    deinter[y * w : (y + 1) * w] = indices[
+                        src_row * w : (src_row + 1) * w
+                    ]
+                    src_row += 1
+            indices = deinter
         n_colors = len(ct) // 3
         out = bytearray()
         for idx in indices[: w * h]:

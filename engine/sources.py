@@ -215,3 +215,88 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         parse, schema=WARC_PAGES_SCHEMA
     )
+
+
+def write_pages_warc_indexed(
+    rows, path: str, records_per_file: int = 0
+) -> None:
+    """write_pages_warc + a cdx-style offset index (the Common Crawl
+    pattern: cdxj sidecar files carry (file, offset, length) per record so
+    readers can range-read individual gzip members). One `index.cdxj` JSONL per archive dir
+    (not underscore-prefixed: Hadoop path filters treat `_*` as hidden
+    metadata and would skip it)."""
+    import gzip
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    rows = list(rows)
+    step = records_per_file or len(rows) or 1
+    index = []
+    for fi in range(0, (len(rows) + step - 1) // step):
+        chunk = rows[fi * step : (fi + 1) * step]
+        name = f"part-{fi:05d}.warc.gz"
+        out = bytearray()
+        for url, warc_ts, html, lang in chunk:
+            member = gzip.compress(encode_warc_record(url, warc_ts, bytes(html), lang))
+            index.append(
+                {
+                    "file": name,
+                    "offset": len(out),
+                    "length": len(member),
+                    "url": url,
+                }
+            )
+            out += member
+        with open(os.path.join(path, name), "wb") as f:
+            f.write(bytes(out))
+    with open(os.path.join(path, "index.cdxj"), "w") as f:
+        for rec in index:
+            f.write(json.dumps(rec) + "\n")
+
+
+def read_pages_warc_indexed(
+    spark: SparkSession, path: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Offset-indexed WARC read — the scale path the streaming reader's
+    docstring promises: parallelism is per-RECORD (index rows repartition
+    across executors; each task range-reads + inflates only its members),
+    not per-archive, and a corrupt member costs exactly ONE error row
+    instead of the archive's tail (no-resync limitation of the streaming
+    scan). Requires the `index.cdxj` sidecar written by
+    write_pages_warc_indexed (Common Crawl ships the equivalent cdx
+    index for its archives)."""
+    import os
+
+    idx = spark.read.schema("file string, offset long, length long, url string").json(
+        f"{path}/index.cdxj"
+    )
+    if num_partitions:
+        idx = idx.repartition(num_partitions)
+
+    base = os.path.abspath(path)
+
+    def fetch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "html", "lang", "status")}
+            handles: dict = {}
+            try:
+                for fname, off, ln in zip(pdf["file"], pdf["offset"], pdf["length"]):
+                    f = handles.get(fname)
+                    if f is None:
+                        f = handles[fname] = open(os.path.join(base, str(fname)), "rb")
+                    f.seek(int(off))
+                    blob = f.read(int(ln))
+                    for tup in _parse_warc_stream(blob, f"{fname}@{off}"):
+                        for k, v in zip(rows, tup):
+                            rows[k].append(v)
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame(rows)
+
+    return idx.select("file", "offset", "length").mapInPandas(
+        fetch, schema=WARC_PAGES_SCHEMA
+    )

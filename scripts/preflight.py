@@ -106,6 +106,34 @@ def check_iceberg():
     )
 
 
+def check_mediadec():
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jar = os.path.join(repo, "dist", "mediadec.jar")
+    if os.path.exists(jar):
+        try:
+            with zipfile.ZipFile(jar) as zf:
+                ok_jar = "mediadec/MediaCodec.class" in zf.namelist()
+        except zipfile.BadZipFile:
+            ok_jar = False
+        if ok_jar:
+            return OK, (
+                "dist/mediadec.jar well-formed — JVM-native media decode "
+                "(javax.imageio/javax.sound) registers via "
+                "engine.multimodal.register_jvm_media"
+            )
+        return WARN, (
+            "dist/mediadec.jar present but missing mediadec/MediaCodec.class "
+            "— rebuild with scripts/build_mediadec.sh"
+        )
+    return WARN, (
+        "no dist/mediadec.jar (run scripts/build_mediadec.sh) — media decode "
+        "falls back to the pure-Python oracle path only"
+    )
+
+
 def check_spark_session():
     from pyspark.sql import functions as F
 
@@ -134,6 +162,7 @@ def main() -> None:
         ("fixture determinism", check_fixture_determinism),
         ("driver testdata", check_testdata),
         ("iceberg runtime", check_iceberg),
+        ("mediadec jar", check_mediadec),
     ]
     if args.with_spark:
         checks.append(("spark session", check_spark_session))

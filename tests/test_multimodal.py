@@ -284,13 +284,14 @@ def test_gif_corrupt_rejected():
         decode_gif(gif[:12])
     with pytest.raises(ImageDecodeError, match="truncated"):
         decode_gif(gif[: len(gif) - 3])
-    # interlace flag set in the image descriptor
+    # flipping the interlace flag on sequential data is not an error since
+    # r4 (interlace is supported) — it just permutes rows; dims unchanged
     broken = bytearray(gif)
     # image descriptor starts after header(13) + gct(12): 0x2C then 9 bytes
     assert broken[25] == 0x2C
     broken[25 + 9] |= 0x40
-    with pytest.raises(ImageDecodeError, match="interlaced"):
-        decode_gif(bytes(broken))
+    w2, h2, c2, _ = decode_gif(bytes(broken))
+    assert (w2, h2, c2) == (3, 2, 3)
 
 
 def test_wav_roundtrip_and_corruption():
@@ -423,3 +424,20 @@ def test_png_adam7_corrupt_rejected():
     forged[16 + 13 : 16 + 17] = _s.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     with pytest.raises(ImageDecodeError, match="truncated raster"):
         decode_png(bytes(forged))
+
+
+def test_gif_interlaced_roundtrip():
+    """r4: four-pass GIF interlacing (spec appendix E) — the encoder twin
+    writes pass-ordered rows + the interlace flag, the decoder scatters
+    them back; pixels identical to the sequential encoding, and the
+    interlaced bytes genuinely differ."""
+    from engine.multimodal import decode_gif, encode_gif_animated
+
+    pal = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
+    for w, h in ((4, 3), (5, 9), (8, 8), (3, 1), (2, 17)):
+        ids = [(i * 5 + 3) % 8 for i in range(w * h)]
+        seq = encode_gif_animated(w, h, pal, [list(ids)])
+        il = encode_gif_animated(w, h, pal, [list(ids)], interlace=True)
+        assert decode_gif(il) == decode_gif(seq), (w, h)
+        if h > 1:
+            assert il != seq, (w, h)

@@ -178,3 +178,47 @@ def test_warc_truncated_and_malformed_records(spark, tmp_path):
     got = sources.read_pages_warc(spark, wd).collect()
     assert len(got) == 3
     assert all(r["status"].startswith("error:") for r in got)
+
+
+def test_warc_indexed_read_matches_streaming(spark, pages_unit_path, tmp_path):
+    """The cdx-style offset index: indexed read == streaming read on the
+    same archives, with record-level parallelism (index rows repartition)."""
+    wd = str(tmp_path / "warc")
+    rows = _pages_rows(spark, pages_unit_path)
+    sources.write_pages_warc_indexed(rows, wd, records_per_file=13)
+
+    stream = {
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["lang"])
+        for r in sources.read_pages_warc(spark, wd).collect()
+    }
+    indexed_df = sources.read_pages_warc_indexed(spark, wd, num_partitions=6)
+    assert indexed_df.rdd.getNumPartitions() == 6  # per-record parallelism
+    indexed = {
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["lang"])
+        for r in indexed_df.collect()
+    }
+    assert indexed == stream == {tuple([u, ts, h, lg]) for u, ts, h, lg in rows}
+
+
+def test_warc_indexed_isolates_corrupt_member(spark, pages_unit_path, tmp_path):
+    """With the index, a corrupt member in the MIDDLE of an archive costs
+    exactly one error row — the records after it still decode (the
+    streaming scan, by contrast, loses the archive's tail; pinned in
+    test_warc_corrupt_and_foreign_records)."""
+    wd = str(tmp_path / "warc")
+    rows = _pages_rows(spark, pages_unit_path)[:9]
+    sources.write_pages_warc_indexed(rows, wd)  # single archive
+
+    import json
+
+    idx = [json.loads(ln) for ln in open(f"{wd}/index.cdxj")]
+    victim = idx[4]
+    with open(f"{wd}/{victim['file']}", "r+b") as f:
+        f.seek(victim["offset"] + 3)
+        f.write(b"\xde\xad\xbe\xef")
+
+    got = sources.read_pages_warc_indexed(spark, wd).collect()
+    ok = {r["url"] for r in got if r["status"] == "ok"}
+    errs = [r for r in got if r["status"] != "ok"]
+    assert len(errs) == 1 and str(victim["offset"]) in errs[0]["url"]
+    assert ok == {u for u, *_ in rows} - {victim["url"]}
