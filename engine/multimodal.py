@@ -1009,6 +1009,12 @@ _JVM_UDFS = (
         "mediadec.ResizeNNUdf",
         "status string, out_w bigint, out_h bigint, thumb_sha string",
     ),
+    (
+        "mediadec_gif_frames",
+        "mediadec.GifFramesUdf",
+        "array<struct<frame_idx: bigint, status: string, width: bigint, "
+        "height: bigint, n_bytes: bigint, frame_sha: string>>",
+    ),
 )
 _JVM_REGISTERED: set[int] = set()  # id(SparkSession) -> registered once
 
@@ -1108,3 +1114,19 @@ def gif_frames(df: DataFrame) -> DataFrame:
     dims + palette-mapped RGB sha. Corrupt containers emit the frames that
     decoded plus one error row at the failure index."""
     return df.mapInPandas(_gif_frames_batches, schema=GIF_FRAMES_SCHEMA)
+
+
+def gif_frames_jvm(df: DataFrame) -> DataFrame:
+    """JVM twin of gif_frames: the whole demux — container walk, LZW,
+    palette mapping, per-frame sha — runs inside the JVM
+    (mediadec.GifFramesUdf) and the 1-row→N-frames explode is a JVM
+    generator; zero Python operators in the plan. Corrupt payloads yield a
+    single error row (the Python twin keeps the decoded prefix — ImageIO
+    counts frames up front, so a truncated container fails whole)."""
+    from pyspark.sql import functions as F
+
+    register_jvm_media(df.sparkSession)
+    return df.select(
+        F.col("doc_id"),
+        F.explode(F.expr("mediadec_gif_frames(payload)")).alias("f"),
+    ).select("doc_id", "f.*")

@@ -236,3 +236,32 @@ def test_jvm_decodes_adam7_interlaced_png(spark):
     py, jv = _rows(decode_images(df)), _rows(decode_images_jvm(df))
     assert py == jv
     assert all(v[0] == "ok" for v in py.values()), py
+
+
+def test_jvm_gif_frames_matches_python(spark):
+    """Animated-GIF demux parity (r4): the JVM path (ImageIO multi-frame +
+    JVM-side explode) emits the SAME per-frame rows as the Python demux on
+    valid containers — and its plan has zero Python operators."""
+    from engine.multimodal import encode_gif_animated, gif_frames, gif_frames_jvm
+
+    pal = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
+    payloads = [
+        encode_gif_animated(4, 3, pal, [[(i + f) % 8 for i in range(12)]
+                                        for f in range(3)], delays_cs=[5] * 3),
+        encode_gif_animated(7, 5, pal, [[(i * 3) % 8 for i in range(35)]]),
+        encode_gif_animated(5, 9, pal, [[(i + f * 2) % 8 for i in range(45)]
+                                        for f in range(2)], interlace=True),
+        b"XX not a gif",
+    ]
+    df = _payload_df(spark, payloads)
+
+    def rows(frame_df):
+        return sorted(tuple(r) for r in frame_df.collect())
+
+    py, jv = rows(gif_frames(df)), rows(gif_frames_jvm(df))
+    assert py == jv
+    assert sum(1 for r in py if r[2] == "ok") == 6  # 3 + 1 + 2 frames
+
+    plan = gif_frames_jvm(df)._jdf.queryExecution().executedPlan().toString()
+    for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert op not in plan, plan
