@@ -1439,7 +1439,24 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded frame. The oracle recomputes every frame's palette-mapped RGB
     sha from the pre-encoding construction. Every 17th payload gets a bad
     magic → a single deterministic error row."""
-    from engine.multimodal import encode_gif_animated, gif_frames
+    from engine.multimodal import gif_frames
+
+    return gif_frames(_animated_gif_payloads(spark, sf_dir))
+
+
+def _q_multimodal_frames_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM twin of multimodal_frames: the SAME animated-GIF payloads
+    demuxed entirely inside the JVM (ImageIO multi-frame + JVM-side
+    explode, mediadec.GifFramesUdf) — zero Python operators past the
+    payload construction. Bad-magic rows classify identically on both
+    paths, so this query shares multimodal_frames' oracle verbatim."""
+    from engine.multimodal import gif_frames_jvm
+
+    return gif_frames_jvm(_animated_gif_payloads(spark, sf_dir))
+
+
+def _animated_gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine.multimodal import encode_gif_animated
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     palette = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
@@ -1467,8 +1484,7 @@ def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    payloads = docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
-    return gif_frames(payloads)
+    return docs.mapInPandas(gen, schema="doc_id bigint, payload binary")
 
 
 _SQL_MM_FRAMES_DUCK = f"""
@@ -2465,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_frames_jvm": _q_multimodal_frames_jvm,
         "image_decode": _q_image_decode,
         "image_decode_png": _q_image_decode_png,
         "image_decode_png_adam7": _q_image_decode_png_adam7,
@@ -2557,6 +2574,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "multimodal_resize": _SQL_MM_RESIZE_DUCK,
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
+        "multimodal_frames_jvm": _SQL_MM_FRAMES_DUCK,
         "image_decode": _SQL_IMG_DECODE_DUCK,
         "image_decode_png": _SQL_IMG_DECODE_PNG_DUCK,
         "image_decode_png_adam7": _SQL_IMG_DECODE_PNG_DUCK,

@@ -56,6 +56,14 @@ def main() -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--master", default=None)
     ap.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "jsonl", "warc", "warc-indexed"],
+        help="pages input format (r4): parquet (default), JSONL crawl dump, "
+        ".warc.gz archives (per-file parallelism), or offset-indexed WARC "
+        "(per-record parallelism via the index.cdxj sidecar)",
+    )
+    ap.add_argument(
         "--emit-blocks",
         action="store_true",
         help="also write the stage-1 candidate-blocks table to <out>_blocks "
@@ -73,7 +81,25 @@ def main() -> None:
         return
     if args.pages is None:
         ap.error("--pages is required unless --lookup is given")
-    pages = spark.read.parquet(args.pages)
+    if args.format == "parquet":
+        pages = spark.read.parquet(args.pages)
+    elif args.format == "jsonl":
+        from engine import sources
+
+        pages = sources.read_pages_jsonl(spark, args.pages)
+    else:
+        from engine import sources
+
+        reader = (
+            sources.read_pages_warc_indexed
+            if args.format == "warc-indexed"
+            else sources.read_pages_warc
+        )
+        pages = (
+            reader(spark, args.pages)
+            .where("status = 'ok'")
+            .select("url", "warc_ts", "html", "lang")
+        )
     if args.resume:
         pages = tableio.remaining(pages, args.out)
 
