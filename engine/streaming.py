@@ -359,3 +359,63 @@ def incremental_event_rollup(
     )
     query.awaitTermination()
     return query
+
+
+def incremental_extract_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "warcstream0",
+):
+    """Incremental extraction straight off arriving ``.warc.gz`` archives
+    (r4): the streaming twin of ``sources.read_pages_warc`` — binaryFile is
+    a checkpointed streaming file source, so each AvailableNow pass parses
+    and extracts only archives not yet seen. The parse stage's corrupt-
+    member error rows carry no html and are dropped before extraction;
+    the extraction output is byte-identical to the batch WARC path on the
+    same archives (pytest-pinned)."""
+    from engine.sources import WARC_PAGES_SCHEMA, _parse_warc_stream
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; binaryFile's
+        # is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(f"{warc_dir}/*.warc.gz")
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "html", "lang", "status")}
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                for tup in _parse_warc_stream(bytes(blob), str(src)):
+                    for k, v in zip(rows, tup):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    pages = (
+        files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)
+        .where("status = 'ok'")
+        .select("url", "warc_ts", "html", "lang")
+    )
+    extracted = (
+        pages.mapInPandas(extract_fused, schema=EXTRACTED_CORE_SCHEMA)
+        .withColumn("part_id", F.spark_partition_id())
+        .withColumn("lineage", F.lit(run_id))
+    )
+    query = (
+        extracted.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

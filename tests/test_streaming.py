@@ -265,3 +265,43 @@ def test_neardedup_stream_applies_bucket_cap(spark, tmp_path):
     }
     assert got == expected
     assert (100, 101) in got, "cross-batch near-dup pair lost"
+
+
+def test_incremental_extract_warc_matches_batch(spark, pages_unit_path, tmp_path):
+    """r4: streaming ingest straight off .warc.gz archives — two
+    AvailableNow passes (second processes only the newly landed archive)
+    produce exactly the batch WARC path's extraction rows."""
+    from engine import sources
+    from engine.pipeline import run_fused
+    from engine.streaming import incremental_extract_warc
+
+    rows = [
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["lang"])
+        for r in spark.read.parquet(pages_unit_path).collect()
+    ]
+    wd = str(tmp_path / "warc")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    sources.write_pages_warc(rows[:40], wd, records_per_file=20)
+    incremental_extract_warc(spark, wd, out, cp)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    # second archive lands; only it is processed
+    sources.write_pages_warc(rows[40:], str(tmp_path / "b2"))
+    import os
+    import shutil
+
+    for f in os.listdir(str(tmp_path / "b2")):
+        shutil.copy(str(tmp_path / "b2" / f), f"{wd}/late-{f}")
+    incremental_extract_warc(spark, wd, out, cp)
+
+    got = {
+        r["url"]: (r["extracted_text"], r["status"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["url"]: (r["extracted_text"], r["status"])
+        for r in run_fused(spark.read.parquet(pages_unit_path)).collect()
+    }
+    assert got == want and len(got) == 64
