@@ -1380,8 +1380,6 @@ FROM documents
 # actually branch on the 47-558-byte corpus. The binary `thumb` column is
 # surfaced as (sha, length) — the driver's value-hash compares scalars.
 _MM_THUMB = 8  # target_w = target_h
-_MM_FRAME_BYTES = 64
-_MM_EVERY_N = 2
 
 
 def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,9 +6,13 @@ shape, ``mapInPandas`` signature, partition behavior — is real and tested,
 and since r3 the decode itself is REAL for five image formats and one audio
 format, all pure Python with no media library: PNM (PGM/PPM), PNG (zlib +
 scanline unfiltering), BMP (24-bit BI_RGB), GIF (real LZW), JPEG
-(baseline + progressive, ``engine/jpeg``), and 16-bit PCM WAV. Remaining formats (WebP/AVIF, video
-frame extraction) stay behind an import gate with deterministic fakes so
-outputs remain reproducible and oracle-checkable.
+(baseline + progressive, ``engine/jpeg``), and 16-bit PCM WAV — plus
+animated-GIF frame demux (``gif_frames``) as a REAL 1-row→N-frames
+operator (r4). Production decode additionally runs JVM-native via
+``engine/java/mediadec`` (``decode_images_jvm`` et al.); the pure-Python
+decoders here are its differential oracle. Remaining formats (WebP/AVIF,
+general video demux) stay behind an import gate with deterministic fakes
+so outputs remain reproducible and oracle-checkable.
 """
 
 from __future__ import annotations
