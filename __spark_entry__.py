@@ -2125,6 +2125,103 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 # DuckDB twin: windowed 8-gram over the shingle relation, same md5-hex hash.
+
+# ---------------------------------------------------------------------------
+# r4 crawl-pipeline additions
+# ---------------------------------------------------------------------------
+
+# Paragraph-level exact dedup (the public "dedup repeated passages across
+# the corpus" op — boilerplate paragraphs recur across millions of pages):
+# the unit is a 16-token non-overlapping chunk; the keeper of each distinct
+# chunk is its first occurrence in (doc_id, chunk_idx) order; output is the
+# per-document kept/total tally. Scale shape: ONE hash shuffle, and it
+# moves md5 digests (32 hex) rather than the chunk text — at 100 TB the
+# corpus text never crosses the wire, only fixed-width keys.
+_SQL_PARA_DEDUP_SPARK = """
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_join(slice(toks, i * 16 + 1, 16), ' ')) AS h
+  FROM t LATERAL VIEW explode(
+        sequence(0, CAST(ceil(size(toks) / 16.0) AS INT) - 1)) s AS i
+  WHERE size(toks) >= 1
+),
+r AS (SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+      FROM c)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+            AS DOUBLE) AS keep_ratio
+FROM r GROUP BY doc_id
+"""
+_SQL_PARA_DEDUP_DUCK = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         md5(array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' ')) AS h
+  FROM t, unnest(range(0, ceil(len(toks) / 16.0)::INT)) AS s(i)
+  WHERE len(toks) >= 1
+),
+r AS (SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+      FROM c)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+            AS DOUBLE) AS keep_ratio
+FROM r GROUP BY doc_id
+"""
+
+# URL feature extraction: deterministic per-doc URLs (the documents table
+# carries no url column) parsed on the Spark side by the REAL parse_url
+# expression (JVM-side java.net URI semantics); the oracle recomputes the
+# fields arithmetically from the same construction. Per-row, zero shuffle.
+_URL_EXPR = (
+    "'https://site' || CAST(doc_id % 50 AS STRING) || '.example/p/' || "
+    "CAST(doc_id AS STRING) || '/page?ref=' || lang"
+)
+_SQL_URL_FEATURES_SPARK = f"""
+WITH u AS (SELECT doc_id, lang, {_URL_EXPR} AS url FROM documents)
+SELECT doc_id,
+       parse_url(url, 'HOST') AS host,
+       parse_url(url, 'PATH') AS path,
+       parse_url(url, 'QUERY', 'ref') AS ref,
+       CAST(size(split(parse_url(url, 'PATH'), '/')) - 1 AS BIGINT) AS path_depth,
+       substring_index(parse_url(url, 'HOST'), '.', -1) AS tld
+FROM u
+"""
+_SQL_URL_FEATURES_DUCK = """
+SELECT doc_id,
+       'site' || (doc_id % 50)::VARCHAR || '.example' AS host,
+       '/p/' || doc_id::VARCHAR || '/page' AS path,
+       lang AS ref,
+       CAST(3 AS BIGINT) AS path_depth,
+       'example' AS tld
+FROM documents
+"""
+
+# Domain-level rollup (crawl analytics: docs/langs/size per host) over the
+# same synthesized URLs: one partial-aggregated shuffle on host.
+_SQL_DOMAIN_ROLLUP_SPARK = f"""
+WITH u AS (SELECT doc_id, lang, n_chars, {_URL_EXPR} AS url FROM documents)
+SELECT parse_url(url, 'HOST') AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
+FROM u GROUP BY parse_url(url, 'HOST')
+"""
+_SQL_DOMAIN_ROLLUP_DUCK = """
+SELECT 'site' || (doc_id % 50)::VARCHAR || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
 _SQL_DECON_DUCK_GRAM = " || ' ' || ".join(
     ["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, 8)]
 )
@@ -2476,6 +2573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _sql_query(_SQL_DOC_CHUNKS_SPARK, "documents"),
         "vocab_df": _sql_query(_SQL_VOCAB_DF_SPARK, "documents"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
+        "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
+        "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
+        "domain_rollup": _sql_query(_SQL_DOMAIN_ROLLUP_SPARK, "documents"),
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -2569,6 +2669,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS_DUCK,
         "vocab_df": _SQL_VOCAB_DF_DUCK,
         "decontaminate": _SQL_DECON_DUCK,
+        "paragraph_dedup": _SQL_PARA_DEDUP_DUCK,
+        "url_features": _SQL_URL_FEATURES_DUCK,
+        "domain_rollup": _SQL_DOMAIN_ROLLUP_DUCK,
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "multimodal_resize": _SQL_MM_RESIZE_DUCK,
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
