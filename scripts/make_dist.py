@@ -2,11 +2,15 @@
 
     python scripts/make_dist.py          # -> dist/engine.zip
     spark-submit --master <cluster> --py-files dist/engine.zip \
+        --jars dist/minicat.jar,dist/mediadec.jar \
         engine/run_pipeline.py --pages ... --out ...
 
 The zip carries the pure-Python packages (extraction/, engine/, fixtures/)
 — everything executors need; no model artifacts exist (heuristic constants
-are code, SURVEY.md §2.1 S10).
+are code, SURVEY.md §2.1 S10). The optional jars add the DSv2 MERGE
+catalog and the JVM-native media decode UDFs (r4) — engine.session wires
+them automatically when running from a checkout; under spark-submit pass
+them via --jars as above.
 """
 
 from __future__ import annotations
