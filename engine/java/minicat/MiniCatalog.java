@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
 import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException;
 import org.apache.spark.sql.connector.catalog.Identifier;
 import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.ProcedureCatalog;
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure;
 import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
 import org.apache.spark.sql.connector.catalog.Table;
 import org.apache.spark.sql.connector.catalog.TableCatalog;
@@ -24,7 +26,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap;
  * jar on the driver classpath ({@code spark.jars=dist/minicat.jar}).
  * Flat namespace model: every namespace exists; tables live in MiniStore.
  */
-public class MiniCatalog implements TableCatalog, SupportsNamespaces {
+public class MiniCatalog implements TableCatalog, SupportsNamespaces, ProcedureCatalog {
   private String catalogName;
 
   @Override
@@ -109,6 +111,21 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces {
   @Override
   public void renameTable(Identifier from, Identifier to) {
     throw new UnsupportedOperationException("MiniCatalog: renameTable");
+  }
+
+  // --- ProcedureCatalog: Iceberg-style maintenance procedures (r4) ---
+
+  @Override
+  public UnboundProcedure loadProcedure(Identifier ident) {
+    if (ident.name().equals("expire_snapshots")) {
+      return new MiniExpireSnapshots(catalogName);
+    }
+    throw new UnsupportedOperationException("unknown procedure: " + ident);
+  }
+
+  @Override
+  public Identifier[] listProcedures(String[] namespace) {
+    return new Identifier[] {Identifier.of(namespace, "expire_snapshots")};
   }
 
   // --- SupportsNamespaces: every namespace exists (flat test catalog) ---

@@ -93,7 +93,8 @@ public final class MiniStore {
       ArrayList<ArrayList<InternalRow>> snap = e.snapshots.get(snapshotId);
       if (snap == null) {
         throw new IllegalArgumentException(
-            "no snapshot " + snapshotId + " for " + key + " (have 0.." + e.commitSeq + ")");
+            "no snapshot " + snapshotId + " for " + key
+                + " (retained: " + e.snapshots.keySet() + ")");
       }
       return snap;
     }
@@ -110,6 +111,24 @@ public final class MiniStore {
     Entry e = require(key);
     synchronized (e) {
       return e.commitSeq;
+    }
+  }
+
+  /** Drop all but the newest {@code retainLast} snapshots; returns how
+   *  many were expired. The current snapshot is always retained. */
+  static long expireSnapshots(String key, int retainLast) {
+    Entry e = require(key);
+    synchronized (e) {
+      long cutoff = e.commitSeq - retainLast + 1;
+      long n = 0;
+      java.util.Iterator<Long> it = e.snapshots.keySet().iterator();
+      while (it.hasNext()) {
+        if (it.next() < cutoff) {
+          it.remove();
+          n++;
+        }
+      }
+      return n;
     }
   }
 

@@ -178,3 +178,34 @@ def test_groups_metadata_table_shape(spark, mini_table):
     cat, ns, name = mini_table.split(".")
     snaps = {r["snapshot"] for r in spark.table(f"{cat}.{ns}.`{name}$groups`").collect()}
     assert snaps == {1}  # one commit so far, all groups agree
+
+
+def test_expire_snapshots_procedure(spark, mini_table):
+    """r4: Iceberg-style maintenance via a REAL DSv2 procedure — CALL
+    mini.expire_snapshots(...) drops all but the newest N snapshot
+    vectors; expired VERSION AS OF reads fail at analysis, retained ones
+    (and HEAD) stay readable."""
+    import pytest as _pytest
+
+    _df(spark, BASE).writeTo(mini_table).append()          # snapshot 1
+    tableio.merge_by_url_iceberg(spark, mini_table, _df(spark, UPD))  # 2
+    spark.sql(f"DELETE FROM {mini_table} WHERE url = 'u1'")           # 3
+    head = _rows(spark, mini_table)
+
+    _, ns, name = mini_table.split(".")
+    r = spark.sql(
+        f"CALL mini.expire_snapshots(table => '{ns}.{name}', retain_last => 2)"
+    ).collect()
+    assert [tuple(x) for x in r] == [(2, 3)]  # snapshots 0,1 expired; head 3
+
+    with _pytest.raises(Exception, match="no snapshot"):
+        spark.sql(f"SELECT * FROM {mini_table} VERSION AS OF 1").collect()
+    assert (
+        spark.sql(f"SELECT * FROM {mini_table} VERSION AS OF 2").count() == 4
+    )
+    assert _rows(spark, mini_table) == head
+    # idempotent: nothing further to expire
+    r2 = spark.sql(
+        f"CALL mini.expire_snapshots(table => '{ns}.{name}', retain_last => 2)"
+    ).collect()
+    assert [tuple(x) for x in r2] == [(0, 3)]
