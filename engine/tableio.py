@@ -307,3 +307,55 @@ def write_lineage(spark: SparkSession, target_path: str, run_id: str) -> str:
     with open(lineage_path, "w", encoding="utf-8") as f:
         json.dump(payload, f, indent=2)
     return lineage_path
+
+
+def compact(
+    spark: SparkSession, target_path: str, max_files_per_bucket: int = 1
+) -> list[int]:
+    """Small-file compaction for the bucketed parquet table — the fallback's
+    analog of Iceberg's ``rewrite_data_files`` (r4). Every merge rewrites
+    its dirty buckets with one file per shuffle partition, so a table that
+    absorbs many small merges accumulates small files; this rewrites each
+    bucket directory holding more than ``max_files_per_bucket`` data files
+    into a single file. Clean buckets are untouched (their files keep
+    identity and mtime — same discipline as the dirty-bucket merge).
+    Returns the compacted bucket ids."""
+    if not _is_bucketed(target_path):
+        return []
+    done: list[int] = []
+    for d in sorted(os.listdir(target_path)):
+        if not d.startswith("bucket="):
+            continue
+        bdir = os.path.join(target_path, d)
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        if len(files) <= max_files_per_bucket:
+            continue
+        # bucket files exclude the partition column (dir name carries it),
+        # so a direct dir read/write round-trips the exact file schema
+        df = spark.read.parquet(bdir)
+        tmp = f"{bdir}.compact-{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fresh = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        shutil.rmtree(bdir)
+        os.makedirs(bdir)
+        for f in fresh:
+            os.rename(os.path.join(tmp, f), os.path.join(bdir, f))
+        shutil.rmtree(tmp)
+        done.append(int(d.split("=", 1)[1]))
+    return done
+
+
+def snapshot_diff(
+    spark: SparkSession, table_ident: str, v_from: int, v_to: int
+) -> DataFrame:
+    """CDC-style changelog between two snapshots of a row-level-catalog
+    table (r4, built on VERSION AS OF): rows present only in ``v_to`` come
+    back tagged ``_change='insert'``, rows present only in ``v_from``
+    tagged ``_change='delete'``; an UPDATE appears as its delete+insert
+    pair — standard changelog semantics (Iceberg's changelog scan /
+    incremental read analog). EXCEPT ALL keeps duplicate multiplicity."""
+    a = spark.sql(f"SELECT * FROM {table_ident} VERSION AS OF {v_from}")
+    b = spark.sql(f"SELECT * FROM {table_ident} VERSION AS OF {v_to}")
+    added = b.exceptAll(a).withColumn("_change", F.lit("insert"))
+    removed = a.exceptAll(b).withColumn("_change", F.lit("delete"))
+    return added.unionByName(removed)

@@ -193,3 +193,39 @@ def test_read_url_falls_back_on_stale_manifest(spark, tmp_path):
     for i in range(20):
         got = tableio.read_url(spark, target, f"u{i}")
         assert got.count() == 1, f"u{i} lost under stale manifest"
+
+
+def test_compact_buckets_preserves_content(spark, tmp_path):
+    """r4 rewrite_data_files analog: multi-file bucket dirs collapse to one
+    file each; table contents, layout, and point lookup are unchanged;
+    already-compact buckets keep their files untouched."""
+    import os
+
+    from engine import tableio
+
+    path = str(tmp_path / "tbl")
+    rows = [(f"u{i}", f"t{i}", 1) for i in range(64)]
+    df = spark.createDataFrame(rows, "url string, extracted_text string, ver long")
+    # high-parallelism merge -> several files per bucket
+    tableio.merge_by_url(spark, path, df.repartition(8), n_buckets=4)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).drop("bucket").collect())
+    multi = [
+        d for d in os.listdir(path)
+        if d.startswith("bucket=")
+        and len([f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")]) > 1
+    ]
+    assert multi, "setup failed to produce multi-file buckets"
+
+    compacted = tableio.compact(spark, path)
+    assert sorted(compacted) == sorted(int(d.split("=")[1]) for d in multi)
+    for d in os.listdir(path):
+        if d.startswith("bucket="):
+            files = [f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")]
+            assert len(files) <= 1, d
+    after = sorted(tuple(r) for r in spark.read.parquet(path).drop("bucket").collect())
+    assert after == before
+    # point lookup still bucket-prunes correctly
+    hit = tableio.read_url(spark, path, "u7")
+    assert hit is not None and hit.count() == 1
+    # idempotent: second compact is a no-op
+    assert tableio.compact(spark, path) == []
