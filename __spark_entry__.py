@@ -1526,12 +1526,36 @@ SELECT * FROM ok_rows UNION ALL SELECT * FROM err_rows
 # compressed formats stay PIL-gated.
 
 
+# Construction guard for the PPM-based gates (r4, closing the same
+# asymmetry ADVICE r3 #2 fixed for the PNG/BMP/GIF/WAV twins): a doc too
+# short to fill the raster, or with non-ASCII chars in the sliced region
+# (char slice != byte slice), cannot be built into a PPM whose pixel sha
+# the char-sliced oracle can recompute — such docs get a bad-magic payload
+# and a deterministic error row on BOTH sides. Cannot fire on the current
+# all-ASCII fixtures; symmetric by construction either way.
+# ASCII test without regex (escape semantics differ between Spark RLIKE
+# and DuckDB regexp_matches): a UTF-8 string is pure ASCII iff its byte
+# length equals its char length.
+_PPM_BAD = (
+    f"(length(repeat(text, 8)) < ({_IMG_W}) * ({_IMG_H}) * 3 "
+    f"OR octet_length(substring(repeat(text, 8), 1, ({_IMG_W}) * ({_IMG_H}) * 3)) "
+    f"!= ({_IMG_W}) * ({_IMG_H}) * 3)"
+)
+_PPM_BAD_DUCK = (
+    f"(length(repeat(text, 8)) < ({_IMG_W}) * ({_IMG_H}) * 3 "
+    f"OR strlen(substr(repeat(text, 8), 1, (({_IMG_W}) * ({_IMG_H}) * 3)::INT)) "
+    f"!= ({_IMG_W}) * ({_IMG_H}) * 3)"
+)
+
+
 def _ppm_payload_col():
     w, h = f"({_IMG_W})", f"({_IMG_H})"
     return F.encode(
-        F.expr(
-            f"concat('P6\\n', CAST({w} AS STRING), ' ', CAST({h} AS STRING), "
-            f"'\\n255\\n', substring(repeat(text, 8), 1, {w} * {h} * 3))"
+        F.when(F.expr(_PPM_BAD), F.expr("'XX' || text")).otherwise(
+            F.expr(
+                f"concat('P6\\n', CAST({w} AS STRING), ' ', CAST({h} AS STRING), "
+                f"'\\n255\\n', substring(repeat(text, 8), 1, {w} * {h} * 3))"
+            )
         ),
         "utf-8",
     )
@@ -1552,16 +1576,17 @@ def _q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_IMG_DECODE_DUCK = f"""
-WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text FROM documents),
-px AS (SELECT doc_id, w, h,
+WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text,
+                  (doc_id % 17 = 0 OR {_PPM_BAD_DUCK}) AS bad FROM documents),
+px AS (SELECT doc_id, w, h, bad,
               substr(repeat(text, 8), 1, (w * h * 3)::INT) AS pix FROM p)
 SELECT doc_id,
-       CASE WHEN doc_id % 17 = 0 THEN 'error:unsupported' ELSE 'ok' END AS status,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE w END AS BIGINT) AS width,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE h END AS BIGINT) AS height,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 3 END AS BIGINT) AS channels,
-       CAST(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE length(pix) END AS BIGINT) AS n_pixel_bytes,
-       CASE WHEN doc_id % 17 = 0 THEN '' ELSE sha256(pix) END AS pixel_sha
+       CASE WHEN bad THEN 'error:unsupported' ELSE 'ok' END AS status,
+       CAST(CASE WHEN bad THEN 0 ELSE w END AS BIGINT) AS width,
+       CAST(CASE WHEN bad THEN 0 ELSE h END AS BIGINT) AS height,
+       CAST(CASE WHEN bad THEN 0 ELSE 3 END AS BIGINT) AS channels,
+       CAST(CASE WHEN bad THEN 0 ELSE length(pix) END AS BIGINT) AS n_pixel_bytes,
+       CASE WHEN bad THEN '' ELSE sha256(pix) END AS pixel_sha
 FROM px
 """
 
@@ -1968,12 +1993,14 @@ _NN_PIECES = " || ".join(
     for tj in range(2)
 )
 _SQL_IMG_RESIZE_NN_DUCK = f"""
-WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text FROM documents),
-px AS (SELECT doc_id, w, h,
+WITH p AS (SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h, text,
+                  {_PPM_BAD_DUCK} AS bad FROM documents),
+px AS (SELECT doc_id, w, h, bad,
               substr(repeat(text, 8), 1, (w * h * 3)::INT) AS pix FROM p)
-SELECT doc_id, 'ok' AS status,
+SELECT doc_id,
+       CASE WHEN bad THEN 'error:unsupported' ELSE 'ok' END AS status,
        CAST(2 AS BIGINT) AS out_w, CAST(2 AS BIGINT) AS out_h,
-       sha256({_NN_PIECES}) AS thumb_sha
+       CASE WHEN bad THEN '' ELSE sha256({_NN_PIECES}) END AS thumb_sha
 FROM px
 """
 

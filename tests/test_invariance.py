@@ -137,3 +137,44 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark, tmp_path):
     )
     oracle = {tuple(r) for r in con.execute(em.oracle_sql()["minhash_lsh_pairs"]).fetchall()}
     assert got == oracle
+
+
+def test_ppm_gate_guard_fires_symmetrically_on_non_ascii(spark, tmp_path):
+    """r4 guard symmetry (ADVICE r3 #2 extended to the PPM twins): a doc
+    whose sliced raster region contains non-ASCII — where char slice !=
+    byte slice — must produce the SAME deterministic error row from the
+    Spark construction and the DuckDB oracle, for image_decode,
+    image_resize_nn, and image_resize_jvm."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    rows = [
+        (1, "plain ascii text " * 20, "en", "web", 340),
+        (2, "naïve café résumé " * 20, "fr", "web", 360),  # non-ASCII
+        (3, "x" * 10, "en", "web", 10),                    # too short
+    ]
+    docs_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{docs_dir}/documents.parquet", mode="overwrite")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{docs_dir}/documents.parquet/*.parquet')"
+    )
+    for name in ("image_decode", "image_resize_nn", "image_resize_jvm"):
+        got = sorted(
+            tuple(str(v) for v in r)
+            for r in em.queries()[name](spark, docs_dir).collect()
+        )
+        want = sorted(
+            tuple(str(v) for v in r)
+            for r in con.execute(em.oracle_sql()[name]).fetchall()
+        )
+        assert got == want, name
+        by_doc = {int(r[0]): r for r in got}
+        assert "error:unsupported" in by_doc[2], (name, by_doc[2])
+        assert "error:unsupported" in by_doc[3], (name, by_doc[3])
+        assert "ok" in by_doc[1], (name, by_doc[1])
