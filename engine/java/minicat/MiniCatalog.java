@@ -98,9 +98,27 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces, ProcedureC
     return new MiniTable(key(ident), ident.name(), schema);
   }
 
+  /** Append-only schema evolution (r4): ADD COLUMN (top-level, nullable,
+   *  appended at the end — the common Iceberg evolution); anything else
+   *  stays unsupported. Pre-evolution rows read back null-padded. */
   @Override
   public Table alterTable(Identifier ident, TableChange... changes) {
-    throw new UnsupportedOperationException("MiniCatalog: alterTable");
+    for (TableChange c : changes) {
+      if (!(c instanceof TableChange.AddColumn)) {
+        throw new UnsupportedOperationException(
+            "MiniCatalog: only ADD COLUMN is supported, got " + c.getClass().getSimpleName());
+      }
+      TableChange.AddColumn add = (TableChange.AddColumn) c;
+      if (add.fieldNames().length != 1) {
+        throw new UnsupportedOperationException("MiniCatalog: nested columns unsupported");
+      }
+      if (add.position() != null) {
+        throw new UnsupportedOperationException(
+            "MiniCatalog: positioned ADD COLUMN unsupported (append-only)");
+      }
+      MiniStore.addColumn(key(ident), add.fieldNames()[0], add.dataType());
+    }
+    return new MiniTable(key(ident), ident.name(), MiniStore.schemaOf(key(ident)));
   }
 
   @Override

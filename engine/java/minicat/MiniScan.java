@@ -122,6 +122,9 @@ public class MiniScan implements ScanBuilder, Scan, Batch, SupportsPushDownRequi
             for (int i = 0; i < p.srcIdx.length; i++) {
               if (p.srcIdx[i] < 0) {
                 vals[i] = p.groupId;
+              } else if (p.srcIdx[i] >= full.numFields()) {
+                // row written before an ALTER TABLE ADD COLUMN: null-pad
+                vals[i] = null;
               } else {
                 vals[i] = full.isNullAt(p.srcIdx[i]) ? null : full.get(p.srcIdx[i], p.types[i]);
               }

@@ -33,7 +33,7 @@ public final class MiniStore {
   public static final int NUM_GROUPS = 8;
 
   public static final class Entry {
-    public final StructType schema;
+    public StructType schema; // mutable: append-only evolution (r4)
     final ArrayList<ArrayList<InternalRow>> groups = new ArrayList<>();
     final long[] version = new long[NUM_GROUPS];
     long commitSeq = 0;
@@ -97,6 +97,27 @@ public final class MiniStore {
                 + " (retained: " + e.snapshots.keySet() + ")");
       }
       return snap;
+    }
+  }
+
+  /** Append-only schema evolution (r4): add one nullable column at the
+   *  END. Stored rows keep their original width; scans null-pad them
+   *  (MiniScan), exactly the shape of reading pre-evolution data files. */
+  static StructType addColumn(String key, String name, org.apache.spark.sql.types.DataType type) {
+    Entry e = require(key);
+    synchronized (e) {
+      if (java.util.Arrays.asList(e.schema.fieldNames()).contains(name)) {
+        throw new IllegalArgumentException("column exists: " + name);
+      }
+      e.schema = e.schema.add(name, type, true);
+      return e.schema;
+    }
+  }
+
+  static StructType schemaOf(String key) {
+    Entry e = require(key);
+    synchronized (e) {
+      return e.schema;
     }
   }
 

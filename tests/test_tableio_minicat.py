@@ -227,3 +227,38 @@ def test_snapshot_diff_changelog(spark, mini_table):
     # reverse direction swaps the tags
     rev = {tuple(r) for r in tableio.snapshot_diff(spark, mini_table, 2, 1).collect()}
     assert ("u2", "two", 1, "insert") in rev and ("u4", "FOUR", 2, "delete") in rev
+
+
+def test_alter_table_add_column_evolution(spark, mini_table):
+    """r4 append-only schema evolution: ADD COLUMN appends a nullable
+    column; pre-evolution rows read back null-padded (the shape of reading
+    pre-evolution data files), new writes carry the full width, MERGE
+    participates with the new column, and non-append changes are rejected
+    loudly."""
+    import pytest as _pytest
+
+    _df(spark, BASE).writeTo(mini_table).append()
+    spark.sql(f"ALTER TABLE {mini_table} ADD COLUMN score DOUBLE")
+    rows = sorted(tuple(r) for r in spark.table(mini_table).collect())
+    assert rows == sorted((u, t, v, None) for u, t, v in BASE)
+
+    wide = spark.createDataFrame(
+        [("u9", "nine", 2, 0.25)],
+        "url string, extracted_text string, ver long, score double",
+    )
+    wide.writeTo(mini_table).append()
+    wide2 = spark.createDataFrame(
+        [("u2", "TWO", 3, 0.75)],
+        "url string, extracted_text string, ver long, score double",
+    )
+    wide2.createOrReplaceTempView("evo_upd")
+    spark.sql(
+        f"MERGE INTO {mini_table} t USING evo_upd s ON t.url = s.url "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted(tuple(r) for r in spark.table(mini_table).collect())
+    assert ("u2", "TWO", 3, 0.75) in got and ("u9", "nine", 2, 0.25) in got
+    assert ("u1", "one", 1, None) in got
+
+    with _pytest.raises(Exception, match="only ADD COLUMN"):
+        spark.sql(f"ALTER TABLE {mini_table} DROP COLUMN ver")
