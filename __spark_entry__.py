@@ -672,18 +672,9 @@ FROM documents GROUP BY md5(text)
 """
 
 # Shared shingle CTE (token 3-grams) — structurally identical in both engines.
-_SHINGLES_SPARK = """
-WITH tok AS (
-  SELECT doc_id, tok, pos FROM (
-    SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM documents)
-),
-sh AS (
-  SELECT doc_id,
-         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
-  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
-"""
+# (the windowed Spark shingle CTE was removed in r4 — the live Spark path
+# is the in-row construction in _JACCARD_SPARK_INROW; _SHINGLES_DUCK below
+# remains as the DuckDB oracle's structural twin)
 _SHINGLES_DUCK = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
@@ -711,7 +702,7 @@ shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL)
 # family minimum are per-row JVM expressions — no posexplode, no window,
 # ZERO Exchange; the plan is scan→project. At 100 TB this is the difference
 # between shuffling every token in the corpus and shuffling nothing. The
-# windowed form above (`_SHINGLES_SPARK`) is retained only as the DuckDB
+# windowed form (`_SHINGLES_DUCK`) is retained only as the DuckDB
 # oracle's structural twin and for the Jaccard query, whose set-intersection
 # join genuinely needs shingle rows.
 # Constants + expression builders live in engine/minhash.py since r3 so the

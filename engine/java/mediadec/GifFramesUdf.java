@@ -30,7 +30,9 @@ public final class GifFramesUdf implements UDF1<byte[], Row[]> {
         || payload[0] != 'G'
         || payload[1] != 'I'
         || payload[2] != 'F'
-        || payload[3] != '8') {
+        || payload[3] != '8'
+        || (payload[4] != '7' && payload[4] != '9')
+        || payload[5] != 'a') {
       return UNSUPPORTED.clone();
     }
     ImageReader reader = null;

@@ -74,13 +74,20 @@ public final class MediaCodec {
     if (isPnm(p)) {
       return true;
     }
-    if (p.length >= 8 && (p[0] & 0xFF) == 0x89 && p[1] == 'P' && p[2] == 'N' && p[3] == 'G') {
+    // magic checks mirror the Python dispatch exactly (review r4): full
+    // 8-byte PNG signature and 6-byte GIF87a/GIF89a, so unknown-magic
+    // classification agrees byte-for-byte between the twins
+    if (p.length >= 8
+        && (p[0] & 0xFF) == 0x89 && p[1] == 'P' && p[2] == 'N' && p[3] == 'G'
+        && p[4] == '\r' && p[5] == '\n' && p[6] == 0x1A && p[7] == '\n') {
       return true;
     }
     if (p[0] == 'B' && p[1] == 'M') {
       return true;
     }
-    if (p.length >= 6 && p[0] == 'G' && p[1] == 'I' && p[2] == 'F' && p[3] == '8') {
+    if (p.length >= 6
+        && p[0] == 'G' && p[1] == 'I' && p[2] == 'F' && p[3] == '8'
+        && (p[4] == '7' || p[4] == '9') && p[5] == 'a') {
       return true;
     }
     return (p[0] & 0xFF) == 0xFF && (p[1] & 0xFF) == 0xD8; // JPEG SOI

@@ -83,14 +83,14 @@ public final class MiniGroupsTable implements Table, SupportsRead {
 
     @Override
     public InputPartition[] planInputPartitions() {
-      long[] versions = MiniStore.groupVersions(key);
-      long snap = MiniStore.currentSnapshot(key);
-      ArrayList<ArrayList<InternalRow>> groups = MiniStore.groupsAt(key, null);
+      Object[] stats = MiniStore.groupStats(key); // atomic: no torn rows
+      long[] versions = (long[]) stats[0];
+      long[] counts = (long[]) stats[1];
+      long snap = (Long) stats[2];
       ArrayList<InternalRow> rows = new ArrayList<>();
       for (int g = 0; g < MiniStore.NUM_GROUPS; g++) {
         rows.add(
-            new GenericInternalRow(
-                new Object[] {g, versions[g], (long) groups.get(g).size(), snap}));
+            new GenericInternalRow(new Object[] {g, versions[g], counts[g], snap}));
       }
       return new InputPartition[] {new RowsPartition(rows)};
     }

@@ -128,6 +128,20 @@ public final class MiniStore {
     }
   }
 
+  /** Atomic (versions, row counts, snapshot id) triple for the $groups
+   *  metadata table — reading them in separate synchronized calls could
+   *  interleave with a commit and report torn rows (review r4). */
+  static Object[] groupStats(String key) {
+    Entry e = require(key);
+    synchronized (e) {
+      long[] counts = new long[NUM_GROUPS];
+      for (int g = 0; g < NUM_GROUPS; g++) {
+        counts[g] = e.groups.get(g).size();
+      }
+      return new Object[] {e.version.clone(), counts, e.commitSeq};
+    }
+  }
+
   static long currentSnapshot(String key) {
     Entry e = require(key);
     synchronized (e) {

@@ -651,13 +651,28 @@ def _decode_progressive_scan(
             if t is None and ah == 0:
                 raise JpegError("missing table for scan")
             dc_tbls.append(t)
-        if len(sel) > 1 or comps[sel[0][0]]["h"] * comps[sel[0][0]]["v"] > 1:
+        if len(sel) > 1:
             units_x, units_y, interleaved = mcus_x, mcus_y, True
         else:
-            # single-component scan: one block per unit over the
-            # non-interleaved grid
+            # spec A.2.2: ANY single-component scan is non-interleaved over
+            # the component's own block grid — including subsampled
+            # components (review r4: the old h*v>1 test wrongly MCU-ordered
+            # a lone subsampled-luma DC scan; libjpeg cross-check pins the
+            # correct convention in tests/test_mediadec_jvm.py)
             _, (wb, hb) = _comp_dims(frame, comps[sel[0][0]])
             units_x, units_y, interleaved = wb, hb, False
+        # hoist per-component constants out of the unit loop (review r4:
+        # _comp_dims was recomputed per block)
+        comp_meta = []
+        for ci, _, _ in sel:
+            c = comps[ci]
+            (full_wb, _), _ = _comp_dims(frame, c)
+            reps = (
+                [(by, bx) for by in range(c["v"]) for bx in range(c["h"])]
+                if interleaved
+                else [(0, 0)]
+            )
+            comp_meta.append((c, full_wb, reps))
         unit = 0
         for uy in range(units_y):
             for ux in range(units_x):
@@ -665,13 +680,7 @@ def _decode_progressive_scan(
                     restart(state)
                 unit += 1
                 for si, (ci, td, _) in enumerate(sel):
-                    c = comps[ci]
-                    (full_wb, _), _ = _comp_dims(frame, c)
-                    reps = (
-                        [(by, bx) for by in range(c["v"]) for bx in range(c["h"])]
-                        if interleaved
-                        else [(0, 0)]
-                    )
+                    c, full_wb, reps = comp_meta[si]
                     for by, bx in reps:
                         if interleaved:
                             brow, bcol = uy * c["v"] + by, ux * c["h"] + bx
@@ -929,9 +938,7 @@ def build_jpeg_progressive(
         state = {"preds": [0] * len(comp_ids), "aw": _ProgACWriter(bw)}
 
         if ss == 0:  # DC scan
-            interleaved = len(comp_ids) > 1 or (
-                sampling[comp_ids[0]][0] * sampling[comp_ids[0]][1] > 1
-            )
+            interleaved = len(comp_ids) > 1
             if interleaved:
                 units = [(my, mx) for my in range(mcus_y) for mx in range(mcus_x)]
             else:

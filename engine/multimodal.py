@@ -1020,14 +1020,13 @@ _JVM_UDFS = (
         "height: bigint, n_bytes: bigint, frame_sha: string>>",
     ),
 )
-_JVM_REGISTERED: set[int] = set()  # id(SparkSession) -> registered once
-
-
 def register_jvm_media(spark) -> None:
     """Register the mediadec JVM UDFs on this session (idempotent). Raises
     RuntimeError with a build hint if dist/mediadec.jar is not on the
-    classpath (engine.session.get_spark adds it when present)."""
-    if id(spark) in _JVM_REGISTERED:
+    classpath (engine.session.get_spark adds it when present). The
+    done-flag lives in the SESSION's runtime conf, not an id(spark) cache:
+    a new session can reuse a collected session's object id (review r4)."""
+    if spark.conf.get("spark.mediadec.registered", None) == "true":
         return
     from pyspark.sql.types import StructType
 
@@ -1040,7 +1039,7 @@ def register_jvm_media(spark) -> None:
             "scripts/build_mediadec.sh and create the session via "
             "engine.session.get_spark"
         ) from e
-    _JVM_REGISTERED.add(id(spark))
+    spark.conf.set("spark.mediadec.registered", "true")
 
 
 def decode_images_jvm(df: DataFrame) -> DataFrame:

@@ -195,25 +195,28 @@ def _parse_warc_stream(blob: bytes, src: str):
         )
 
 
+def warc_parse_batches(batches):
+    """mapInPandas stage body shared by the batch and STREAMING WARC
+    readers (review r4 — previously copy-pasted): (path, content) file
+    batches -> WARC_PAGES_SCHEMA row batches."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in ("url", "warc_ts", "html", "lang", "status")}
+        for src, blob in zip(pdf["path"], pdf["content"]):
+            for tup in _parse_warc_stream(bytes(blob), str(src)):
+                for k, v in zip(rows, tup):
+                    rows[k].append(v)
+        yield pd.DataFrame(rows)
+
+
 def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
     """.warc.gz archive dir -> canonical pages frame (url, warc_ts,
     html binary, lang, status). One parse task per archive file
     (binaryFile scan), Arrow-batched; corrupt members -> error rows."""
-
-    def parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {k: [] for k in ("url", "warc_ts", "html", "lang", "status")}
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                for tup in _parse_warc_stream(bytes(blob), str(src)):
-                    for k, v in zip(rows, tup):
-                        rows[k].append(v)
-            yield pd.DataFrame(rows)
-
     files = spark.read.format("binaryFile").load(f"{path}/*.warc.gz")
     return files.select("path", "content").mapInPandas(
-        parse, schema=WARC_PAGES_SCHEMA
+        warc_parse_batches, schema=WARC_PAGES_SCHEMA
     )
 
 

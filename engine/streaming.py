@@ -375,7 +375,7 @@ def incremental_extract_warc(
     member error rows carry no html and are dropped before extraction;
     the extraction output is byte-identical to the batch WARC path on the
     same archives (pytest-pinned)."""
-    from engine.sources import WARC_PAGES_SCHEMA, _parse_warc_stream
+    from engine.sources import WARC_PAGES_SCHEMA, warc_parse_batches
 
     files = (
         spark.readStream.format("binaryFile")
@@ -389,19 +389,8 @@ def incremental_extract_warc(
         .select("path", "content")
     )
 
-    def parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {k: [] for k in ("url", "warc_ts", "html", "lang", "status")}
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                for tup in _parse_warc_stream(bytes(blob), str(src)):
-                    for k, v in zip(rows, tup):
-                        rows[k].append(v)
-            yield pd.DataFrame(rows)
-
     pages = (
-        files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)
+        files.mapInPandas(warc_parse_batches, schema=WARC_PAGES_SCHEMA)
         .where("status = 'ok'")
         .select("url", "warc_ts", "html", "lang")
     )

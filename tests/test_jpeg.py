@@ -304,3 +304,27 @@ def test_progressive_truncation_and_garbage_are_errors():
     # scans without EOI
     with pytest.raises(JpegError):
         decode_jpeg(jp[:-2] + b"\x00\x00")
+
+
+def test_progressive_per_component_dc_scans_on_subsampled():
+    """Review r4 fix: a single-component DC scan is NON-interleaved over
+    the component's own block grid even when the component is subsampled
+    (spec A.2.2 — the shape custom libjpeg scan scripts emit). Pinned
+    equal to baseline on 4:2:0 including non-multiple-of-16 dims; the
+    libjpeg cross-check lives in tests/test_mediadec_jvm.py."""
+    random.seed(21)
+    q = [2] * 64
+    scans = [([0], 0, 0, 0, 0), ([1], 0, 0, 0, 0), ([2], 0, 0, 0, 0),
+             ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    for w, h in ((32, 32), (20, 20), (24, 8)):
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        yb = [[random.randrange(-12, 13) for _ in range(64)]
+              for _ in range(4 * mx * my)]
+        cb = [[random.randrange(-12, 13) for _ in range(64)] for _ in range(mx * my)]
+        cr = [[random.randrange(-12, 13) for _ in range(64)] for _ in range(mx * my)]
+        args = (w, h, q, [[list(x) for x in yb], [list(x) for x in cb],
+                          [list(x) for x in cr]])
+        kw = {"sampling": [(2, 2), (1, 1), (1, 1)]}
+        assert decode_jpeg(build_jpeg(*args, **kw)) == decode_jpeg(
+            build_jpeg_progressive(*args, scans=scans, **kw)
+        ), (w, h)

@@ -265,3 +265,28 @@ def test_jvm_gif_frames_matches_python(spark):
     plan = gif_frames_jvm(df)._jdf.queryExecution().executedPlan().toString()
     for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
         assert op not in plan, plan
+
+
+def test_jvm_libjpeg_agrees_on_per_component_dc_scans(spark):
+    """Review r4 fix, externally validated: libjpeg decodes our
+    per-component-DC-scan progressive 4:2:0 stream to the SAME pixels as
+    the baseline stream (flat DC values -> float-exact), and our Python
+    progressive decoder matches byte-for-byte — three decoders, one
+    convention."""
+    from engine.jpeg import build_jpeg, build_jpeg_progressive
+
+    q = [8] * 64
+    flat = lambda v: [v] + [0] * 63  # noqa: E731
+    yb = [list(flat(8))] * 16
+    cb = [list(flat(-4))] * 4
+    cr = [list(flat(6))] * 4
+    kw = {"sampling": [(2, 2), (1, 1), (1, 1)]}
+    scans = [([0], 0, 0, 0, 0), ([1], 0, 0, 0, 0), ([2], 0, 0, 0, 0),
+             ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)]
+    mk = lambda f: f(32, 32, q, [[list(b) for b in yb], [list(b) for b in cb],  # noqa: E731
+                                 [list(b) for b in cr]],
+                     **({"scans": scans} if f is build_jpeg_progressive else {}),
+                     **kw)
+    df = _payload_df(spark, [mk(build_jpeg), mk(build_jpeg_progressive)])
+    jv, py = _rows(decode_images_jvm(df)), _rows(decode_images(df))
+    assert jv[0] == jv[1] == py[0] == py[1] and jv[0][0] == "ok"
