@@ -125,6 +125,26 @@ def main() -> None:
         "(r2 joined extraction output back to the crawl text on url).",
         _plan(em.queries()["extract_coverage"](spark, args.sf), "simple"),
     ))
+    sections.append((
+        "JVM media decode (image_decode_jvm tail, r4)",
+        "Past the payload-construction stage the decode is a pure JVM "
+        "Project (mediadec UDF) — zero Python operators, no Arrow hop for "
+        "the pixel work (the r3 perf-weak fix; 5.5-56x the Python twins).",
+        _plan(em.queries()["image_decode_jvm"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Jaccard with in-row shingles (r4)",
+        "Shingles share the minhash in-row array construction: no Window, "
+        "no posexplode; the doc_id candidate bound is pushed to the scan "
+        "and the only explode is over the bounded candidate set.",
+        _plan(em.queries()["ngram_jaccard_pairs"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Paragraph dedup (r4)",
+        "Corpus-wide keep-first over 16-token chunks: ONE hash shuffle "
+        "moving md5 digests (32 hex per chunk), never the chunk text.",
+        _plan(em.queries()["paragraph_dedup"](spark, args.sf), "simple"),
+    ))
 
     lines = [
         "# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)",
