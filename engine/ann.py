@@ -1,0 +1,137 @@
+"""Persisted IVF vector index — the build-once / probe-many workflow a
+training-data pipeline actually runs (r4), upgrading the registry's
+``ann_ivf_topk`` demonstration (which recomputes the codebook and the
+inverted lists inside every query) into a materialized index:
+
+- :func:`build_ivf_index` writes the codebook and the inverted lists ONCE.
+  The lists are a parquet table **partitioned by list_id with each vector
+  stored inside its list** — the on-disk analog of a real IVF index's
+  posting files.
+- :func:`ivf_topk` probes: queries x broadcast codebook -> top-``nprobe``
+  lists per query, then a join against the lists table **on the partition
+  column**, so Spark's dynamic partition pruning reads ONLY the probed
+  lists' files (plan-pinned in tests/test_ann_index.py). At 100 TB of
+  vectors this is the difference between scanning the corpus per query
+  batch and reading nprobe/nlists of it.
+
+Construction parity: the codebook rule, 1e-3 quantized integer dot
+products for probe ranking, exact cosine re-ranking, and all tie-breaks
+match the registry query exactly, so ``ivf_topk`` over the persisted index
+is pinned EQUAL to ``ann_ivf_topk``'s oracled output (same corpus, same
+parameters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# must mirror __spark_entry__._IVF_CENT_RULE / _IVF_NPROBE (imported there
+# would be circular; the equality test pins the two against each other)
+IVF_CENT_RULE = "vec_id >= 10 AND vec_id % 31 = 0"
+
+_DOT_Q = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (s, x) -> s + x)"
+)
+_COSINE = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"
+    " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"
+    " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x)))"
+)
+
+
+def _prep(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, embedding) -> (vec_id, v double[], q quantized bigint[])."""
+    return embeddings.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q",
+    )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """One-time index build: codebook + inverted lists.
+
+    The lists table is partitioned by ``list_id`` and carries each vector's
+    (v, q) IN the list, so probing never rejoins the embeddings table —
+    exactly how IVF posting files store their members. Build cost is one
+    broadcast-codebook pass over the corpus (zero shuffles besides the
+    partitioned write)."""
+    e = _prep(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    cent = e.where(IVF_CENT_RULE).selectExpr("vec_id AS cid", "v AS cv", "cast(q AS array<bigint>) AS cq")
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    data = e.where("vec_id >= 10")
+    dot = _DOT_Q.format(a="d.q", b="c.cq")
+    assigned = (
+        data.alias("d")
+        .join(F.broadcast(cent.alias("c")))
+        .selectExpr(
+            "d.vec_id", "d.v", "d.q", "c.cid",
+            f"{dot} AS score",
+        )
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid)"
+            ),
+        )
+        .where("rn = 1")
+        .selectExpr("vec_id", "v", "q", "cid AS list_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_path}/lists"
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k cosine neighbors per query over the persisted index.
+
+    queries: (vec_id, embedding). The probe set joins the lists table on
+    its PARTITION column, so only probed lists' files are read (dynamic
+    partition pruning — plan-pinned)."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    q = _prep(queries)
+    dot = _DOT_Q.format(a="qv.q", b="c.cq")
+    probes = (
+        q.alias("qv")
+        .join(F.broadcast(cent.alias("c")))
+        .selectExpr("qv.vec_id AS query_id", "qv.v AS qvec", "c.cid", f"{dot} AS score")
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid)"
+            ),
+        )
+        .where(f"rn <= {int(nprobe)}")
+        .selectExpr("query_id", "qvec", "cid AS probe_id")
+    )
+    lists = spark.read.parquet(f"{index_path}/lists")
+    sim = _COSINE.format(a="p.qvec", b="l.v")
+    cands = (
+        lists.alias("l")
+        .join(probes.alias("p"), F.col("l.list_id") == F.col("p.probe_id"))
+        .selectExpr("p.query_id", "l.vec_id AS neighbor_id", f"{sim} AS sim")
+    )
+    return (
+        cands.withColumn(
+            "rank",
+            F.expr(
+                "CAST(row_number() OVER (PARTITION BY query_id "
+                "ORDER BY sim DESC, neighbor_id) AS BIGINT)"
+            ),
+        )
+        .where(f"rank <= {int(k)}")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "CAST(round(sim, 4) + 0 AS DOUBLE) AS sim_r",
+        )
+    )

@@ -1,0 +1,60 @@
+"""Persisted IVF index (engine/ann, r4): build-once/probe-many equals the
+registry's per-query IVF computation exactly, and probing reads ONLY the
+probed lists' partition files (dynamic partition pruning — the inverted-
+list scaling story, plan-pinned)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from engine import ann
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ivf") / "index")
+    ann.build_ivf_index(spark, SF, p)
+    return p
+
+
+def test_index_layout_is_partitioned_lists(index_path):
+    lists = [
+        d for d in os.listdir(f"{index_path}/lists") if d.startswith("list_id=")
+    ]
+    assert len(lists) >= 2, lists  # one directory per inverted list
+
+
+def test_persisted_index_equals_registry_query(spark, index_path):
+    """Same construction, same tie-breaks: probing the persisted index
+    reproduces the oracled ann_ivf_topk output row-for-row."""
+    import __spark_entry__ as em
+
+    queries = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 10")
+    )
+    got = sorted(
+        tuple(r)
+        for r in ann.ivf_topk(spark, index_path, queries, nprobe=4, k=3).collect()
+    )
+    want = sorted(
+        tuple(r) for r in em.queries()["ann_ivf_topk"](spark, SF).collect()
+    )
+    assert got == want and len(got) == 30
+
+
+def test_probe_scan_is_partition_pruned(spark, index_path):
+    """The scale property: the candidate join keys on the lists table's
+    PARTITION column with a broadcast probe side, so Spark plans dynamic
+    partition pruning — only probed lists' files are read."""
+    queries = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 10")
+    )
+    df = ann.ivf_topk(spark, index_path, queries, nprobe=4, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
