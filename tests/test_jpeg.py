@@ -328,3 +328,73 @@ def test_progressive_per_component_dc_scans_on_subsampled():
         assert decode_jpeg(build_jpeg(*args, **kw)) == decode_jpeg(
             build_jpeg_progressive(*args, scans=scans, **kw)
         ), (w, h)
+
+
+def test_progressive_random_scan_scripts_property():
+    """Property over RANDOM valid scan scripts: any spectral-band partition
+    per component, any successive-approximation chain, DC scans either
+    all-components-interleaved or per-component, gray or 4:2:0 color —
+    progressive decode must equal baseline decode exactly."""
+    rng = random.Random(99)
+
+    def random_scans(ncomp):
+        scans = []
+        # DC: one interleaved scan, or one scan per component; Al chain
+        al_chain = list(range(rng.randrange(3), -1, -1))  # e.g. [2,1,0]
+        dc_groups = (
+            [list(range(ncomp))]
+            if rng.random() < 0.5
+            else [[c] for c in range(ncomp)]
+        )
+        for gi, g in enumerate(dc_groups):
+            scans.append((g, 0, 0, 0, al_chain[0]))
+        for prev, cur in zip(al_chain, al_chain[1:]):
+            for g in dc_groups:
+                scans.append((g, 0, 0, prev, cur))
+        # AC: per component, random band partition of 1..63, random Al chain
+        for c in range(ncomp):
+            cuts = sorted(rng.sample(range(2, 63), rng.randrange(0, 3)))
+            bands = []
+            lo = 1
+            for cut in cuts + [63]:
+                bands.append((lo, cut))
+                lo = cut + 1
+                if lo > 63:
+                    break
+            ac_chain = list(range(rng.randrange(2), -1, -1))
+            rng.shuffle(bands)
+            for lo_, hi in bands:
+                scans.append(([c], lo_, hi, 0, ac_chain[0]))
+            for prev, cur in zip(ac_chain, ac_chain[1:]):
+                for lo_, hi in bands:
+                    scans.append(([c], lo_, hi, prev, cur))
+        return scans
+
+    for trial in range(12):
+        color = trial % 2 == 1
+        w = 8 * rng.randrange(1, 4) + rng.randrange(8)
+        h = 8 * rng.randrange(1, 4) + rng.randrange(8)
+        q = [1 + rng.randrange(3) for _ in range(64)]
+        if color:
+            mx, my = (w + 15) // 16, (h + 15) // 16
+            coeffs = [
+                [[rng.randrange(-15, 16) for _ in range(64)]
+                 for _ in range(4 * mx * my)],
+                [[rng.randrange(-15, 16) for _ in range(64)] for _ in range(mx * my)],
+                [[rng.randrange(-15, 16) for _ in range(64)] for _ in range(mx * my)],
+            ]
+            kw = {"sampling": [(2, 2), (1, 1), (1, 1)]}
+        else:
+            mx, my = (w + 7) // 8, (h + 7) // 8
+            coeffs = [[[rng.randrange(-15, 16) for _ in range(64)]
+                       for _ in range(mx * my)]]
+            kw = {}
+        scans = random_scans(len(coeffs))
+        b = decode_jpeg(build_jpeg(w, h, q, [[list(x) for x in cc] for cc in coeffs], **kw))
+        p = decode_jpeg(
+            build_jpeg_progressive(
+                w, h, q, [[list(x) for x in cc] for cc in coeffs],
+                scans=scans, **kw,
+            )
+        )
+        assert b == p, (trial, w, h, scans)
