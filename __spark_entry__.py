@@ -2240,6 +2240,95 @@ FROM documents GROUP BY 1
 """
 
 
+# Intra-document repetition: fraction of 8-gram occurrences that are
+# repeats within the SAME document (the other half of the public
+# "repetitious documents" gate — type-token ratio catches token-level
+# repetition, this catches copy-pasted passages). Pure in-row array
+# expressions; zero shuffle.
+_SQL_DUP_NGRAM_SPARK = """
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             transform(sequence(0, size(toks) - 8),
+                       i -> array_join(slice(toks, i + 1, 8), ' ')) AS grams
+      FROM t WHERE size(toks) >= 8)
+SELECT doc_id,
+       CAST(size(grams) AS BIGINT) AS n_grams,
+       CAST(size(array_distinct(grams)) AS BIGINT) AS n_unique,
+       CAST(round((size(grams) - size(array_distinct(grams))) * 1.0
+                  / size(grams), 4) AS DOUBLE) AS dup_ngram_ratio
+FROM g
+"""
+_SQL_DUP_NGRAM_DUCK = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             list_transform(range(0, len(toks) - 7),
+                            i -> array_to_string(toks[i + 1 : i + 8], ' ')) AS grams
+      FROM t WHERE len(toks) >= 8)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+       CAST(round((len(grams) - len(list_distinct(grams))) * 1.0
+                  / len(grams), 4) AS DOUBLE) AS dup_ngram_ratio
+FROM g
+"""
+
+# Sequence packing (the standard LLM training-data op: concatenate
+# documents into fixed-length training sequences across doc boundaries).
+# Packing is per LANGUAGE SHARD: a window cumsum partitioned by lang —
+# parallel across shards, deterministic within (doc_id order). At 100 TB
+# you pack per shard exactly like this (a single global cumsum would be a
+# one-partition window — the antipattern this query avoids by design).
+# Output: one row per (document x sequence) span — where each document's
+# tokens land (sequence id + position), incl. docs straddling boundaries.
+_PACK_LEN = 128
+_SQL_SEQ_PACK_SPARK = f"""
+WITH t AS (SELECT doc_id, lang, size(split(text, ' ')) AS n_toks FROM documents),
+o AS (SELECT doc_id, lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_toks
+      FROM t),
+s AS (SELECT doc_id, lang, n_toks,
+             coalesce(prev_toks, 0) AS start_tok FROM o),
+x AS (SELECT doc_id, lang, n_toks, start_tok,
+             explode(sequence(CAST(start_tok / {_PACK_LEN} AS BIGINT),
+                              CAST((start_tok + n_toks - 1) / {_PACK_LEN} AS BIGINT)))
+               AS seq_id
+      FROM s WHERE n_toks > 0)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - seq_id * {_PACK_LEN} AS BIGINT)
+         AS seq_pos,
+       CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - start_tok AS BIGINT)
+         AS doc_offset,
+       CAST(least(start_tok + n_toks, (seq_id + 1) * {_PACK_LEN})
+            - greatest(start_tok, seq_id * {_PACK_LEN}) AS BIGINT) AS n_span_toks
+FROM x
+"""
+_SQL_SEQ_PACK_DUCK = f"""
+WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks FROM documents),
+o AS (SELECT doc_id, lang, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_toks
+      FROM t),
+s AS (SELECT doc_id, lang, n_toks,
+             coalesce(prev_toks, 0) AS start_tok FROM o),
+x AS (SELECT doc_id, lang, n_toks, start_tok,
+             unnest(range((start_tok // {_PACK_LEN})::BIGINT,
+                          ((start_tok + n_toks - 1) // {_PACK_LEN} + 1)::BIGINT))
+               AS seq_id
+      FROM s WHERE n_toks > 0)
+SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - seq_id * {_PACK_LEN} AS BIGINT)
+         AS seq_pos,
+       CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - start_tok AS BIGINT)
+         AS doc_offset,
+       CAST(least(start_tok + n_toks, (seq_id + 1) * {_PACK_LEN})
+            - greatest(start_tok, seq_id * {_PACK_LEN}) AS BIGINT) AS n_span_toks
+FROM x
+"""
+
+
 _SQL_DECON_DUCK_GRAM = " || ' ' || ".join(
     ["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, 8)]
 )
@@ -2594,6 +2683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
         "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
         "domain_rollup": _sql_query(_SQL_DOMAIN_ROLLUP_SPARK, "documents"),
+        "dup_ngram_ratio": _sql_query(_SQL_DUP_NGRAM_SPARK, "documents"),
+        "sequence_pack": _sql_query(_SQL_SEQ_PACK_SPARK, "documents"),
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -2690,6 +2781,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _SQL_PARA_DEDUP_DUCK,
         "url_features": _SQL_URL_FEATURES_DUCK,
         "domain_rollup": _SQL_DOMAIN_ROLLUP_DUCK,
+        "dup_ngram_ratio": _SQL_DUP_NGRAM_DUCK,
+        "sequence_pack": _SQL_SEQ_PACK_DUCK,
         "multimodal_meta": _SQL_MULTIMODAL_DUCK,
         "multimodal_resize": _SQL_MM_RESIZE_DUCK,
         "multimodal_frames": _SQL_MM_FRAMES_DUCK,
