@@ -1200,8 +1200,11 @@ _ANN_LSH_DUCK = _ann_lsh_sql("duck")
 # broadcastable codebook (map-side at 100 TB); queries probe their
 # `nprobe`=4 nearest lists and exact cosine runs only within probed lists —
 # the candidate join co-locates on list_id, never all-pairs.
-_IVF_NPROBE = 4
-_IVF_CENT_RULE = "vec_id >= 10 AND vec_id % 31 = 0"
+# constants + expression builders live in engine/ann.py (r4) so the
+# persisted-index workflow (engine.ann.build_ivf_index/ivf_topk) computes
+# THE SAME construction by definition — the minhash sharing discipline
+from engine.ann import IVF_CENT_RULE as _IVF_CENT_RULE  # noqa: E402
+from engine.ann import IVF_NPROBE as _IVF_NPROBE  # noqa: E402
 
 
 def _ann_ivf_sql(dialect: str) -> str:
@@ -1211,15 +1214,10 @@ def _ann_ivf_sql(dialect: str) -> str:
             "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q "
             "FROM embeddings"
         )
-        dot_q = (
-            "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-            "CAST(0 AS BIGINT), (s, x) -> s + x)"
-        )
-        cosine = (
-            "aggregate(zip_with(a.v, d.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"
-            " / (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"
-            " * sqrt(aggregate(transform(d.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x)))"
-        )
+        from engine.ann import COSINE, DOT_Q
+
+        dot_q = DOT_Q
+        cosine = COSINE.format(a="a.v", b="d.v")
     else:
         e_cte = (
             "SELECT vec_id, embedding::DOUBLE[] AS v, "
@@ -2291,8 +2289,8 @@ o AS (SELECT doc_id, lang, n_toks,
 s AS (SELECT doc_id, lang, n_toks,
              coalesce(prev_toks, 0) AS start_tok FROM o),
 x AS (SELECT doc_id, lang, n_toks, start_tok,
-             explode(sequence(CAST(start_tok / {_PACK_LEN} AS BIGINT),
-                              CAST((start_tok + n_toks - 1) / {_PACK_LEN} AS BIGINT)))
+             explode(sequence(start_tok DIV {_PACK_LEN},
+                              (start_tok + n_toks - 1) DIV {_PACK_LEN}))
                AS seq_id
       FROM s WHERE n_toks > 0)
 SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,

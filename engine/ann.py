@@ -25,15 +25,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# must mirror __spark_entry__._IVF_CENT_RULE / _IVF_NPROBE (imported there
-# would be circular; the equality test pins the two against each other)
+# THE source of truth for the IVF construction (r4 review: previously
+# duplicated in __spark_entry__ behind a wrong circularity claim) — the
+# registry query builds its SQL from these, same discipline as
+# engine/minhash.py, so codebook rule / quantized-dot / cosine cannot
+# drift between the persisted index and the oracled query.
 IVF_CENT_RULE = "vec_id >= 10 AND vec_id % 31 = 0"
+IVF_NPROBE = 4
 
-_DOT_Q = (
+DOT_Q = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
     "CAST(0 AS BIGINT), (s, x) -> s + x)"
 )
-_COSINE = (
+COSINE = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)"
     " / (sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))"
     " * sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x)))"
@@ -58,11 +62,11 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     broadcast-codebook pass over the corpus (zero shuffles besides the
     partitioned write)."""
     e = _prep(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    cent = e.where(IVF_CENT_RULE).selectExpr("vec_id AS cid", "v AS cv", "cast(q AS array<bigint>) AS cq")
+    cent = e.where(IVF_CENT_RULE).selectExpr("vec_id AS cid", "q AS cq")
     cent.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
 
     data = e.where("vec_id >= 10")
-    dot = _DOT_Q.format(a="d.q", b="c.cq")
+    dot = DOT_Q.format(a="d.q", b="c.cq")
     assigned = (
         data.alias("d")
         .join(F.broadcast(cent.alias("c")))
@@ -98,7 +102,7 @@ def ivf_topk(
     partition pruning — plan-pinned)."""
     cent = spark.read.parquet(f"{index_path}/centroids")
     q = _prep(queries)
-    dot = _DOT_Q.format(a="qv.q", b="c.cq")
+    dot = DOT_Q.format(a="qv.q", b="c.cq")
     probes = (
         q.alias("qv")
         .join(F.broadcast(cent.alias("c")))
@@ -113,7 +117,7 @@ def ivf_topk(
         .selectExpr("query_id", "qvec", "cid AS probe_id")
     )
     lists = spark.read.parquet(f"{index_path}/lists")
-    sim = _COSINE.format(a="p.qvec", b="l.v")
+    sim = COSINE.format(a="p.qvec", b="l.v")
     cands = (
         lists.alias("l")
         .join(probes.alias("p"), F.col("l.list_id") == F.col("p.probe_id"))
