@@ -1019,12 +1019,17 @@ WITH q AS (SELECT vec_id AS query_id, transform(embedding, x -> CAST(x AS DOUBLE
            FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings WHERE vec_id >= 10),
+qn AS (SELECT query_id, e,
+              sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE),
+                             (a, x) -> a + x)) AS nrm FROM q),
+cn AS (SELECT neighbor_id, e,
+              sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE),
+                             (a, x) -> a + x)) AS nrm FROM c),
 sims AS (
-  SELECT q.query_id, c.neighbor_id,
-         aggregate(zip_with(q.e, c.e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)
-         / (sqrt(aggregate(transform(q.e, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))
-            * sqrt(aggregate(transform(c.e, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))) AS sim
-  FROM q CROSS JOIN c)
+  SELECT qn.query_id, cn.neighbor_id,
+         aggregate(zip_with(qn.e, cn.e, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)
+         / (qn.nrm * cn.nrm) AS sim
+  FROM qn CROSS JOIN cn)
 SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) AS DOUBLE) AS sim_r FROM (
   SELECT query_id, neighbor_id, sim,
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
@@ -1047,15 +1052,22 @@ WHERE rank <= 3
 """
 
 # Embedding near-duplicate pairs (dedup family: embedding-cosine variant)
+# norms hoisted into the per-row projection (r4): the O(n²) pair loop then
+# does ONE array fold per pair instead of three — identical float expression
+# order (sqrt(agg) each side), so values are bit-identical; ~2.5× less
+# work in the documented brute-force oracle baseline
 _NEARDUP_SPARK = """
 WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE),
+                            (s, x) -> s + x)) AS nrm
+      FROM e),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)
-         / (sqrt(aggregate(transform(a.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))
-            * sqrt(aggregate(transform(b.v, x -> x * x), CAST(0 AS DOUBLE), (s, x) -> s + x))) AS sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         / (a.nrm * b.nrm) AS sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, CAST(round(sim, 4) AS DOUBLE) AS sim_r
 FROM p WHERE sim >= 0.35
 """
