@@ -2165,6 +2165,13 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 # per-document kept/total tally. Scale shape: ONE hash shuffle, and it
 # moves md5 digests (32 hex) rather than the chunk text — at 100 TB the
 # corpus text never crosses the wire, only fixed-width keys.
+# Keeper resolution is an AGGREGATE (min struct per hash), not a window
+# (r4 rework): partial aggregation combines map-side, so a degenerate
+# chunk shared by millions of docs costs one tiny (h, keeper) row — and
+# the tag-back join is AQE-skew-splittable, where a window would pin the
+# hot hash's every row to ONE un-splittable sort partition. The DuckDB
+# oracle keeps the window form (min struct == row_number=1 under the same
+# order — semantically identical keeper).
 _SQL_PARA_DEDUP_SPARK = """
 WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
 c AS (
@@ -2174,15 +2181,16 @@ c AS (
         sequence(0, CAST(ceil(size(toks) / 16.0) AS INT) - 1)) s AS i
   WHERE size(toks) >= 1
 ),
-r AS (SELECT doc_id, chunk_idx,
-             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
-      FROM c)
-SELECT doc_id,
+k AS (SELECT h, min(named_struct('d', doc_id, 'i', chunk_idx)) AS keeper
+      FROM c GROUP BY h)
+SELECT c.doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+       CAST(sum(CASE WHEN k.keeper.d = c.doc_id AND k.keeper.i = c.chunk_idx
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(round(sum(CASE WHEN k.keeper.d = c.doc_id AND k.keeper.i = c.chunk_idx
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
             AS DOUBLE) AS keep_ratio
-FROM r GROUP BY doc_id
+FROM c JOIN k ON c.h = k.h GROUP BY c.doc_id
 """
 _SQL_PARA_DEDUP_DUCK = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -325,3 +325,16 @@ def test_ngram_jaccard_inrow_shingles(spark):
     assert "Window" not in final, final
     assert "posexplode" not in final.lower(), final
     assert "LessThan(doc_id,150" in final.replace(" ", ""), final
+
+
+def test_paragraph_dedup_uses_aggregate_not_window(spark):
+    """r4 scale rework: keeper resolution is a partial-aggregated
+    min(struct) per chunk hash + an AQE-splittable join — NO Window
+    operator anywhere (a window would pin a degenerate hot chunk's every
+    row to one un-splittable sort partition)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["paragraph_dedup"](spark, "/root/testdata/sf0.001")
+    final = _final_adaptive_plan(df)
+    assert "Window" not in final, final
+    assert "partial_min" in final or "HashAggregate" in final, final
