@@ -2292,28 +2292,31 @@ FROM g
 
 # Sequence packing (the standard LLM training-data op: concatenate
 # documents into fixed-length training sequences across doc boundaries).
-# Packing is per LANGUAGE SHARD: a window cumsum partitioned by lang —
-# parallel across shards, deterministic within (doc_id order). At 100 TB
-# you pack per shard exactly like this (a single global cumsum would be a
-# one-partition window — the antipattern this query avoids by design).
+# The pack unit is a (lang, shard) group — shard = doc_id DIV 200 — so the
+# cumsum window partitions are BOUNDED by construction: parallelism grows
+# with the corpus and no language, however dominant, serializes into one
+# giant sort partition (a lang-only or global cumsum would — the
+# antipattern real pipelines avoid by packing per bounded shard exactly
+# like this; sequences never cross a shard boundary by design).
 # Output: one row per (document x sequence) span — where each document's
 # tokens land (sequence id + position), incl. docs straddling boundaries.
 _PACK_LEN = 128
 _SQL_SEQ_PACK_SPARK = f"""
-WITH t AS (SELECT doc_id, lang, size(split(text, ' ')) AS n_toks FROM documents),
-o AS (SELECT doc_id, lang, n_toks,
-             sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+WITH t AS (SELECT doc_id, lang, doc_id DIV 200 AS shard,
+                  size(split(text, ' ')) AS n_toks FROM documents),
+o AS (SELECT doc_id, lang, shard, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_toks
       FROM t),
-s AS (SELECT doc_id, lang, n_toks,
+s AS (SELECT doc_id, lang, shard, n_toks,
              coalesce(prev_toks, 0) AS start_tok FROM o),
-x AS (SELECT doc_id, lang, n_toks, start_tok,
+x AS (SELECT doc_id, lang, shard, n_toks, start_tok,
              explode(sequence(start_tok DIV {_PACK_LEN},
                               (start_tok + n_toks - 1) DIV {_PACK_LEN}))
                AS seq_id
       FROM s WHERE n_toks > 0)
-SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
        CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - seq_id * {_PACK_LEN} AS BIGINT)
          AS seq_pos,
        CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - start_tok AS BIGINT)
@@ -2323,20 +2326,21 @@ SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
 FROM x
 """
 _SQL_SEQ_PACK_DUCK = f"""
-WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks FROM documents),
-o AS (SELECT doc_id, lang, n_toks,
-             sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+WITH t AS (SELECT doc_id, lang, doc_id // 200 AS shard,
+                  len(string_split(text, ' ')) AS n_toks FROM documents),
+o AS (SELECT doc_id, lang, shard, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_toks
       FROM t),
-s AS (SELECT doc_id, lang, n_toks,
+s AS (SELECT doc_id, lang, shard, n_toks,
              coalesce(prev_toks, 0) AS start_tok FROM o),
-x AS (SELECT doc_id, lang, n_toks, start_tok,
+x AS (SELECT doc_id, lang, shard, n_toks, start_tok,
              unnest(range((start_tok // {_PACK_LEN})::BIGINT,
                           ((start_tok + n_toks - 1) // {_PACK_LEN} + 1)::BIGINT))
                AS seq_id
       FROM s WHERE n_toks > 0)
-SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
        CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - seq_id * {_PACK_LEN} AS BIGINT)
          AS seq_pos,
        CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - start_tok AS BIGINT)
