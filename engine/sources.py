@@ -271,6 +271,14 @@ def read_pages_warc_indexed(
     index for its archives)."""
     import os
 
+    import os as _os
+
+    if not _os.path.exists(f"{path}/index.cdxj"):
+        raise FileNotFoundError(
+            f"{path}/index.cdxj not found — indexed WARC reads need the "
+            "sidecar written by write_pages_warc_indexed (plain archives: "
+            "use read_pages_warc)"
+        )
     idx = spark.read.schema("file string, offset long, length long, url string").json(
         f"{path}/index.cdxj"
     )

@@ -178,3 +178,27 @@ def test_ppm_gate_guard_fires_symmetrically_on_non_ascii(spark, tmp_path):
         assert "error:unsupported" in by_doc[2], (name, by_doc[2])
         assert "error:unsupported" in by_doc[3], (name, by_doc[3])
         assert "ok" in by_doc[1], (name, by_doc[1])
+
+
+def test_new_queries_invariant_to_shuffle_partitions(spark):
+    """Shuffle-partition invariance for the r4 join/agg/window-shaped
+    queries (paragraph_dedup's agg+join keeper, sequence_pack's sharded
+    cumsum, minhash_lsh_pairs' banded self-join): results must not depend
+    on spark.sql.shuffle.partitions."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    names = ("paragraph_dedup", "sequence_pack", "minhash_lsh_pairs")
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {
+        n: sorted(tuple(r) for r in em.queries()[n](spark, sf).collect())
+        for n in names
+    }
+    try:
+        for parts in ("7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                got = sorted(tuple(r) for r in em.queries()[n](spark, sf).collect())
+                assert got == base[n], (n, parts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)

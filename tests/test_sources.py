@@ -222,3 +222,14 @@ def test_warc_indexed_isolates_corrupt_member(spark, pages_unit_path, tmp_path):
     errs = [r for r in got if r["status"] != "ok"]
     assert len(errs) == 1 and str(victim["offset"]) in errs[0]["url"]
     assert ok == {u for u, *_ in rows} - {victim["url"]}
+
+
+def test_warc_indexed_missing_sidecar_clear_error(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    wd = str(tmp_path / "noidx")
+    os.makedirs(wd)
+    with _pytest.raises(FileNotFoundError, match="index.cdxj"):
+        sources.read_pages_warc_indexed(spark, wd)
