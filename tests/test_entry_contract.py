@@ -93,3 +93,43 @@ def test_query_matches_oracle(spark, name):
         f"{name}: {len(mismatch)} value mismatches, first: "
         f"{a[mismatch[0]]} vs {b[mismatch[0]]}"
     )
+
+
+def test_sequence_pack_conservation_invariants(spark):
+    """Packing algebra: per document the span rows partition its tokens
+    exactly (doc_offsets contiguous from 0, spans sum to n_toks); per
+    (lang, shard, seq_id) positions never exceed the pack length; and
+    every non-final sequence in a shard is exactly full."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    rows = em.queries()["sequence_pack"](spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    n_toks = {r["doc_id"]: len(r["text"].split(" ")) for r in docs}
+
+    by_doc = {}
+    seq_fill = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        key = (r["lang"], r["shard"], r["seq_id"])
+        seq_fill[key] = seq_fill.get(key, 0) + r["n_span_toks"]
+        assert 0 <= r["seq_pos"] < 128
+        assert r["seq_pos"] + r["n_span_toks"] <= 128
+
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["doc_offset"])
+        assert spans[0]["doc_offset"] == 0
+        total = 0
+        for s in spans:
+            assert s["doc_offset"] == total  # contiguous, no gaps/overlaps
+            total += s["n_span_toks"]
+        assert total == n_toks[doc_id], doc_id
+
+    # all but the last sequence of each (lang, shard) are exactly full
+    last_seq = {}
+    for lang, shard, seq in seq_fill:
+        k = (lang, shard)
+        last_seq[k] = max(last_seq.get(k, -1), seq)
+    for (lang, shard, seq), fill in seq_fill.items():
+        if seq < last_seq[(lang, shard)]:
+            assert fill == 128, (lang, shard, seq, fill)

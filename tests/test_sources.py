@@ -233,3 +233,26 @@ def test_warc_indexed_missing_sidecar_clear_error(spark, tmp_path):
     os.makedirs(wd)
     with _pytest.raises(FileNotFoundError, match="index.cdxj"):
         sources.read_pages_warc_indexed(spark, wd)
+
+
+def test_warc_indexed_corrupt_index_entries_are_error_rows(spark, pages_unit_path, tmp_path):
+    """Index entries pointing at wrong offsets/lengths (stale or corrupt
+    cdxj) must surface as error rows, never task failures."""
+    import json
+    import os
+
+    wd = str(tmp_path / "warc")
+    rows = _pages_rows(spark, pages_unit_path)[:6]
+    sources.write_pages_warc_indexed(rows, wd)
+    idx = [json.loads(ln) for ln in open(f"{wd}/index.cdxj")]
+    # entry 1: offset shifted mid-member; entry 2: length truncated
+    idx[1]["offset"] += 7
+    idx[2]["length"] //= 2
+    with open(f"{wd}/index.cdxj", "w") as f:
+        for rec in idx:
+            f.write(json.dumps(rec) + "\n")
+    got = sources.read_pages_warc_indexed(spark, wd).collect()
+    ok = {r["url"] for r in got if r["status"] == "ok"}
+    errs = [r for r in got if r["status"] != "ok"]
+    assert len(errs) == 2 and all(r["status"].startswith("error:") for r in errs)
+    assert ok == {u for u, *_ in rows} - {idx[1]["url"], idx[2]["url"]}
