@@ -139,3 +139,107 @@ def ivf_topk(
             "CAST(round(sim, 4) + 0 AS DOUBLE) AS sim_r",
         )
     )
+
+
+def train_ivf_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding corpus (r4): the
+    trained upgrade of the sampled codebook. Spark-first iteration shape —
+    each round is assign (corpus x BROADCAST centroids, in-row argmin over
+    a tiny array; zero shuffle) then re-center (ONE partial-aggregated
+    groupBy; map-side combine absorbs hot lists) — the same
+    rounds-are-the-scarce-resource discipline as the CC pointer-jumping.
+
+    Determinism: init = the fixed sampling rule (IVF_CENT_RULE), fixed
+    iteration count, argmin ties -> lowest centroid id, empty clusters
+    keep their previous centroid; repeated runs in one session are
+    bit-identical (cross-partitioning runs agree up to float-summation
+    order in the per-cluster means — the inherent limit of distributed
+    float reduction). Returns (cid, centroid array<double>).
+    Training state per round is one k x dim centroid table collected to
+    the driver (k*dim doubles — trivially driver-small at any corpus
+    scale; the corpus itself never moves)."""
+    e = _prep(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).where(
+        "vec_id >= 10"
+    )
+    cent_rows = (
+        _prep(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+        .where(IVF_CENT_RULE)
+        .orderBy("vec_id")
+        .limit(k)
+        .selectExpr("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in cent_rows]
+
+    for _ in range(int(iters)):
+        cent_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+                for c in centroids
+            )
+            + ")"
+        )
+        # in-row argmin over the broadcast-literal centroid array: squared
+        # L2 per centroid, then the index of the minimum (ties -> lowest id)
+        assigned = e.selectExpr(
+            "v",
+            f"""array_position(
+                  transform({cent_lit}, c ->
+                    aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+                              CAST(0 AS DOUBLE), (s, x) -> s + x)),
+                  array_min(
+                    transform({cent_lit}, c ->
+                      aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+                                CAST(0 AS DOUBLE), (s, x) -> s + x)))
+                ) - 1 AS cid""",
+        )
+        dim = len(centroids[0])
+        means = (
+            assigned.groupBy("cid")
+            .agg(
+                F.expr("count(*) AS n"),
+                *[
+                    F.expr(f"sum(v[{d}]) AS s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]  # empty clusters persist
+        for r in means:
+            new_cents[int(r["cid"])] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+        centroids = new_cents
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, centroid array<double>"
+    )
+
+
+def kmeans_objective(spark: SparkSession, sf_dir: str, codebook: DataFrame) -> float:
+    """Sum of squared distances of every data vector to its nearest
+    centroid — the Lloyd's objective (monotone non-increasing per
+    iteration; pinned by tests)."""
+    e = _prep(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).where(
+        "vec_id >= 10"
+    )
+    cents = [list(r["centroid"]) for r in codebook.orderBy("cid").collect()]
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+            for c in cents
+        )
+        + ")"
+    )
+    row = e.selectExpr(
+        f"""array_min(transform({cent_lit}, c ->
+              aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),
+                        CAST(0 AS DOUBLE), (s, x) -> s + x))) AS d2"""
+    ).agg(F.sum("d2").alias("obj")).collect()[0]
+    return float(row["obj"])

@@ -58,3 +58,22 @@ def test_probe_scan_is_partition_pruned(spark, index_path):
     df = ann.ivf_topk(spark, index_path, queries, nprobe=4, k=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_kmeans_codebook_training(spark):
+    """Deterministic Lloyd's training (r4): the objective is monotone
+    non-increasing across iterations, strictly improves on the sampled
+    init, and repeated runs in one session are bit-identical. (Cross-
+    partitioning runs agree up to float-summation order in the per-cluster
+    means — the inherent limit of distributed float reduction; assignment
+    ids, the integer outputs, are robust to it.)"""
+    objs = []
+    for iters in (0, 1, 3, 5):
+        cb = ann.train_ivf_codebook(spark, SF, k=8, iters=iters)
+        objs.append(ann.kmeans_objective(spark, SF, cb))
+    assert all(b <= a + 1e-9 for a, b in zip(objs, objs[1:])), objs
+    assert objs[-1] < objs[0] * 0.999, objs  # training actually moved
+
+    a = ann.train_ivf_codebook(spark, SF, k=8, iters=3).collect()
+    b = ann.train_ivf_codebook(spark, SF, k=8, iters=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
