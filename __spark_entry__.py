@@ -1278,6 +1278,95 @@ WHERE rank <= 3
 _ANN_IVF_SPARK = _ann_ivf_sql("spark")
 _ANN_IVF_DUCK = _ann_ivf_sql("duck")
 
+
+# Trained-codebook IVF (r5, VERDICT r4 #1): the frozen Lloyd's k-means
+# codebook (scripts/train_codebook.py -> engine/ann_codebook.py, trained
+# ONCE at sf0.01) probed as a literal table shared by BOTH engines — the
+# load-once trained-model pattern (SURVEY M9, urdu_recognition_utrnet.py:
+# 53-96: train once, probe many). Ranking metric matches training: exact
+# quantized squared-L2 via the three-integer-dot expansion (engine.ann.l2_q)
+# ascending, ties -> lowest cid — the same cross-engine exactness trick as
+# the LSH band keys. engine.ann.build_ivf_index(codebook=...) persists THE
+# SAME construction (pinned row-equal in tests/test_ann_index.py).
+from engine.ann import l2_q as _l2_q  # noqa: E402
+from engine.ann_codebook import TRAINED_CQ as _TRAINED_CQ  # noqa: E402
+
+
+def _ann_ivf_trained_sql(dialect: str) -> str:
+    if dialect == "spark":
+        e_cte = (
+            "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q "
+            "FROM embeddings"
+        )
+        from engine.ann import COSINE, DOT_Q
+
+        dot_q = DOT_Q
+        cosine = COSINE.format(a="a.v", b="d.v")
+        cent_rows = ", ".join(
+            f"({cid}, array({', '.join(str(x) for x in cq)}))"
+            for cid, cq in enumerate(_TRAINED_CQ)
+        )
+        cent_cte = (
+            "SELECT cid, transform(cq, x -> CAST(x AS BIGINT)) AS cq "
+            f"FROM VALUES {cent_rows} AS t(cid, cq)"
+        )
+    else:
+        e_cte = (
+            "SELECT vec_id, embedding::DOUBLE[] AS v, "
+            "list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS q "
+            "FROM embeddings"
+        )
+        dot_q = "list_dot_product({a}, {b})"
+        cosine = (
+            "list_dot_product(a.v, d.v)"
+            " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(d.v, d.v)))"
+        )
+        cent_rows = ", ".join(
+            f"({cid}, [{', '.join(str(x) for x in cq)}])"
+            for cid, cq in enumerate(_TRAINED_CQ)
+        )
+        cent_cte = (
+            "SELECT cid, cq::DOUBLE[] AS cq "
+            f"FROM (VALUES {cent_rows}) t(cid, cq)"
+        )
+    return f"""
+WITH e AS ({e_cte}),
+cent AS ({cent_cte}),
+assign AS (
+  SELECT vec_id AS list_vec, cid AS list_id FROM (
+    SELECT d.vec_id, c.cid,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY {_l2_q("d.q", "c.cq", dot_q)}, c.cid) AS rn
+    FROM e d CROSS JOIN cent c WHERE d.vec_id >= 10) t
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS probe_id FROM (
+    SELECT qv.vec_id, c.cid,
+           row_number() OVER (PARTITION BY qv.vec_id
+                              ORDER BY {_l2_q("qv.q", "c.cq", dot_q)}, c.cid) AS rn
+    FROM e qv CROSS JOIN cent c WHERE qv.vec_id < 10) t
+  WHERE rn <= {_IVF_NPROBE}),
+cands AS (
+  SELECT p.query_id, s.list_vec AS neighbor_id
+  FROM probes p JOIN assign s ON s.list_id = p.probe_id),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         {cosine} AS sim
+  FROM cands c JOIN e a ON a.vec_id = c.query_id
+               JOIN e d ON d.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) + 0 AS DOUBLE) AS sim_r FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM sims) t
+WHERE rank <= 3
+"""
+
+
+_ANN_IVF_TRAINED_SPARK = _ann_ivf_trained_sql("spark")
+_ANN_IVF_TRAINED_DUCK = _ann_ivf_trained_sql("duck")
+
 # Text analysis: heuristic language-ID, quality score, token counts, fingerprint
 _SQL_LANG_ID_SPARK = r"""
 SELECT doc_id,
@@ -2690,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _sql_query(_NEARDUP_SPARK, "embeddings"),
         "ann_lsh_candidates": _sql_query(_ANN_LSH_SPARK, "embeddings"),
         "ann_ivf_topk": _sql_query(_ANN_IVF_SPARK, "embeddings"),
+        "ann_ivf_topk_trained": _sql_query(_ANN_IVF_TRAINED_SPARK, "embeddings"),
         "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
         "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
@@ -2788,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _NEARDUP_DUCK,
         "ann_lsh_candidates": _ANN_LSH_DUCK,
         "ann_ivf_topk": _ANN_IVF_DUCK,
+        "ann_ivf_topk_trained": _ANN_IVF_TRAINED_DUCK,
         "lang_id": _SQL_LANG_ID_DUCK,
         "quality_score": _SQL_QUALITY_DUCK,
         "token_count": _SQL_TOKENS_DUCK,

@@ -53,31 +53,69 @@ def _prep(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+def l2_q(a: str, b: str, dot: str = DOT_Q) -> str:
+    """Exact quantized squared-L2 via the three-dot expansion
+    ``a·a - 2a·b + b·b`` — every term is an integer dot product, so the
+    value is exact in Spark's BIGINT fold AND DuckDB's double
+    ``list_dot_product`` (integral doubles < 2^53), the same cross-engine
+    exactness trick as the LSH band keys. Shared by the index build, the
+    probe ranking, and the ``ann_ivf_topk_trained`` oracle pair."""
+    return (
+        f"({dot.format(a=a, b=a)} - 2 * {dot.format(a=a, b=b)}"
+        f" + {dot.format(a=b, b=b)})"
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    codebook: DataFrame | None = None,
+) -> None:
     """One-time index build: codebook + inverted lists.
 
     The lists table is partitioned by ``list_id`` and carries each vector's
     (v, q) IN the list, so probing never rejoins the embeddings table —
     exactly how IVF posting files store their members. Build cost is one
     broadcast-codebook pass over the corpus (zero shuffles besides the
-    partitioned write)."""
+    partitioned write).
+
+    ``codebook`` (r5): a trained codebook DataFrame (cid, centroid
+    array<double>) — typically :func:`train_ivf_codebook` output or the
+    frozen ``engine.ann_codebook`` artifact. When given, centroids are
+    floor(x*1000)-quantized and both assignment and probing rank by exact
+    quantized squared-L2 (ascending, ties -> lowest cid) — matching the
+    training metric; without it, the sampled ``IVF_CENT_RULE`` codebook
+    with quantized-dot ranking (the r4 construction) is used. The metric
+    is recorded IN the centroids table so :func:`ivf_topk` probes with the
+    same rule the index was built with."""
     e = _prep(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    cent = e.where(IVF_CENT_RULE).selectExpr("vec_id AS cid", "q AS cq")
-    cent.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    if codebook is None:
+        metric = "dot_q"
+        cent = e.where(IVF_CENT_RULE).selectExpr("vec_id AS cid", "q AS cq")
+    else:
+        metric = "l2_q"
+        cent = codebook.selectExpr(
+            "CAST(cid AS BIGINT) AS cid",
+            "transform(centroid, x -> CAST(floor(x * 1000) AS BIGINT)) AS cq",
+        )
+    cent.selectExpr("cid", "cq", f"'{metric}' AS metric").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/centroids")
 
     data = e.where("vec_id >= 10")
-    dot = DOT_Q.format(a="d.q", b="c.cq")
+    rank_expr = _probe_rank_expr(metric, "d.q", "c.cq")
     assigned = (
         data.alias("d")
         .join(F.broadcast(cent.alias("c")))
         .selectExpr(
             "d.vec_id", "d.v", "d.q", "c.cid",
-            f"{dot} AS score",
+            f"{rank_expr} AS score",
         )
         .withColumn(
             "rn",
             F.expr(
-                "row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid)"
+                "row_number() OVER (PARTITION BY vec_id ORDER BY score, cid)"
             ),
         )
         .where("rn = 1")
@@ -86,6 +124,17 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(
         f"{index_path}/lists"
     )
+
+
+def _probe_rank_expr(metric: str, q: str, cq: str) -> str:
+    """Ascending sort key for centroid ranking under the index's metric:
+    quantized dot DESC (negated) for the sampled codebook, quantized
+    squared-L2 ASC for the trained one."""
+    if metric == "dot_q":
+        return f"-{DOT_Q.format(a=q, b=cq)}"
+    if metric == "l2_q":
+        return l2_q(q, cq)
+    raise ValueError(f"unknown IVF metric: {metric!r}")
 
 
 def ivf_topk(
@@ -99,18 +148,25 @@ def ivf_topk(
 
     queries: (vec_id, embedding). The probe set joins the lists table on
     its PARTITION column, so only probed lists' files are read (dynamic
-    partition pruning — plan-pinned)."""
+    partition pruning — plan-pinned). Probe ranking uses the metric the
+    index was built with (recorded in the centroids table)."""
     cent = spark.read.parquet(f"{index_path}/centroids")
+    metric_rows = cent.selectExpr("metric").distinct().collect()
+    metric = metric_rows[0]["metric"] if metric_rows else "dot_q"
+    cent = cent.select("cid", "cq")
     q = _prep(queries)
-    dot = DOT_Q.format(a="qv.q", b="c.cq")
+    rank_expr = _probe_rank_expr(metric, "qv.q", "c.cq")
     probes = (
         q.alias("qv")
         .join(F.broadcast(cent.alias("c")))
-        .selectExpr("qv.vec_id AS query_id", "qv.v AS qvec", "c.cid", f"{dot} AS score")
+        .selectExpr(
+            "qv.vec_id AS query_id", "qv.v AS qvec", "c.cid",
+            f"{rank_expr} AS score",
+        )
         .withColumn(
             "rn",
             F.expr(
-                "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid)"
+                "row_number() OVER (PARTITION BY query_id ORDER BY score, cid)"
             ),
         )
         .where(f"rn <= {int(nprobe)}")

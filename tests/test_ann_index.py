@@ -60,6 +60,78 @@ def test_probe_scan_is_partition_pruned(spark, index_path):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_trained_index_equals_registry_query(spark, tmp_path):
+    """r5 (VERDICT r4 #1): the persisted index built from the FROZEN trained
+    codebook reproduces the oracled ann_ivf_topk_trained output row-for-row
+    — same quantization (floor(x*1000) in Spark SQL == math.floor in the
+    generator, both IEEE double), same L2 ranking, same tie-breaks."""
+    import __spark_entry__ as em
+
+    from engine import ann_codebook
+
+    cb = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ann_codebook.TRAINED_CENTROIDS)],
+        "cid int, centroid array<double>",
+    )
+    p = str(tmp_path / "ivf_trained")
+    ann.build_ivf_index(spark, SF, p, codebook=cb)
+    queries = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 10")
+    )
+    got = sorted(
+        tuple(r)
+        for r in ann.ivf_topk(spark, p, queries, nprobe=4, k=3).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in em.queries()["ann_ivf_topk_trained"](spark, SF).collect()
+    )
+    assert got == want and len(got) == 30
+
+
+def test_trained_recall_not_below_sampled(spark):
+    """The trained codebook must earn its keep: recall@3 vs the exact
+    brute-force top-k on the sf0.01 corpus is >= the sampled codebook's
+    (VERDICT r4 #1 done-criterion; measured 0.60 vs 0.567 at freeze)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.01"
+    qs = em.queries()
+
+    def pairs(name):
+        return {
+            (r["query_id"], r["neighbor_id"]) for r in qs[name](spark, sf).collect()
+        }
+
+    exact = pairs("embedding_topk")
+    recall_sampled = len(pairs("ann_ivf_topk") & exact) / len(exact)
+    recall_trained = len(pairs("ann_ivf_topk_trained") & exact) / len(exact)
+    assert recall_trained >= recall_sampled, (recall_trained, recall_sampled)
+
+
+def test_committed_codebook_reproducible(spark):
+    """Retraining with the committed hyperparameters on the committed
+    corpus reproduces engine/ann_codebook.py (allclose — cross-partitioning
+    runs agree up to float-summation order in the per-cluster means)."""
+    import math
+
+    from engine import ann_codebook
+
+    cb = ann.train_ivf_codebook(
+        spark,
+        f"/root/testdata/{ann_codebook.TRAINED_SF}",
+        k=ann_codebook.TRAINED_K,
+        iters=ann_codebook.TRAINED_ITERS,
+    )
+    got = {int(r["cid"]): list(r["centroid"]) for r in cb.collect()}
+    assert len(got) == ann_codebook.TRAINED_K
+    for cid, want in enumerate(ann_codebook.TRAINED_CENTROIDS):
+        assert all(
+            math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+            for a, b in zip(got[cid], want)
+        ), cid
+
+
 def test_kmeans_codebook_training(spark):
     """Deterministic Lloyd's training (r4): the objective is monotone
     non-increasing across iterations, strictly improves on the sampled

@@ -198,6 +198,8 @@ _CROSS_OK = {
     "embedding_topk",
     "embedding_near_dup",
     "ann_ivf_topk",
+    # same codebook cross join, against the frozen 16-row trained literal
+    "ann_ivf_topk_trained",
     # hour-spine × event-type grid: both sides tiny by construction
     "time_spine_fill",
 }
