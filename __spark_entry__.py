@@ -949,7 +949,9 @@ def _neardedup_keep_duck() -> str:
     )
 
 
-# n-gram Jaccard near-dup pairs over a bounded candidate set
+# n-gram Jaccard near-dup pairs over a bounded candidate set.
+# _JACCARD_BODY is the DuckDB oracle's body (appended to _SHINGLES_DUCK);
+# the Spark production form below computes the same values single-scan.
 _JACCARD_BODY = """
 , ds AS (SELECT DISTINCT doc_id, shingle FROM shingles WHERE doc_id < 150)
 , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ds GROUP BY doc_id)
@@ -963,21 +965,37 @@ FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
 """
 
-# Spark production form (VERDICT r3 #7): shingles built with the SAME
-# in-row array construction as minhash (engine/minhash.SHINGLES_EXPR) —
-# no posexplode, no window Exchange; the doc_id bound pushes to the scan
-# and the only explode is over the already-bounded candidate set, right
-# before the set-intersection join that genuinely needs shingle rows.
-# _JACCARD_BODY is shared verbatim with the oracle (its doc_id filter is
-# a no-op here — already applied at the scan).
+# Spark production form (VERDICT r3 #7; SINGLE-SCAN since r5, VERDICT r4
+# #3): shingles built with the SAME in-row array construction as minhash
+# (engine/minhash.SHINGLES_EXPR) — no posexplode, no window Exchange; the
+# doc_id bound pushes to the scan. The r4 form still scanned `documents`
+# three times (sizes aggregate + both pair-join sides); now the per-doc
+# DISTINCT shingle set is ONE projection (array_distinct) whose size rides
+# along IN the exploded rows, so `sizes` needs no separate aggregate and
+# the set-intersection self-join's two shuffle sides canonicalize
+# identically — ReuseExchange executes scan→shingle→explode ONCE (MERGE
+# hint pins the shuffle join, exactly the minhash_lsh_pairs discipline;
+# plan-pinned: ONE FileScan of documents, tests/test_plans.py). Values are
+# unchanged vs the oracle: max(sz) per pair side is the per-doc constant
+# the old sizes join supplied.
 _JACCARD_SPARK_INROW = (
     "WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents\n"
     "           WHERE doc_id < 150),\n"
-    f"arr AS (SELECT doc_id, {_mh.SHINGLES_EXPR} AS sh FROM t\n"
+    f"arr AS (SELECT doc_id, array_distinct({_mh.SHINGLES_EXPR}) AS sh FROM t\n"
     "        WHERE size(toks) >= 3),\n"
-    "shingles AS (SELECT doc_id, shingle FROM arr\n"
-    "             LATERAL VIEW explode(sh) x AS shingle)\n"
-    + _JACCARD_BODY
+    "ds AS (SELECT doc_id, size(sh) AS sz, shingle FROM arr\n"
+    "       LATERAL VIEW explode(sh) x AS shingle),\n"
+    "inter AS (\n"
+    "  SELECT /*+ MERGE(a) */ a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "         CAST(count(*) AS BIGINT) AS i,\n"
+    "         CAST(max(a.sz) AS BIGINT) AS sa,\n"
+    "         CAST(max(b.sz) AS BIGINT) AS sb\n"
+    "  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id\n"
+    "  GROUP BY a.doc_id, b.doc_id)\n"
+    "SELECT doc_a, doc_b,\n"
+    "       CAST(round(i * 1.0 / (sa + sb - i), 4) AS DOUBLE) AS jaccard\n"
+    "FROM inter\n"
+    "WHERE i * 1.0 / (sa + sb - i) >= 0.05\n"
 )
 
 # SimHash-style fingerprint: 16 hex-digit dimensions of md5(token), majority bit
