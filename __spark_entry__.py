@@ -2346,6 +2346,85 @@ SELECT doc_id,
 FROM documents
 """
 
+# Canonical-URL dedup (r5, VERDICT r4 #6): the standard crawl pre-dedup —
+# normalize surface URL variants (lowercase scheme/host, strip default
+# port, drop utm_*/ref tracking params, resolve the trailing slash) then
+# keep-first per canonical url. Four deterministic messy variants are
+# synthesized per canonical target (doc_id % 120 picks the target, doc_id
+# DIV 120 the variant), so ~4-5 docs collapse per group; normalization is
+# per-row string/regex expressions (zero shuffle) and the keep-first is
+# ONE partial-aggregated groupBy — min(doc_id) keeper, no window. The
+# oracle runs the SAME regex pipeline on the same synthesized strings
+# (RE2-safe: no backrefs).
+_URL_MESSY_CASES = (
+    # (spark_expr, duck_expr) per variant — same value by construction
+    "'https://' || {h} || {p}",
+    "'HTTPS://' || upper({h}) || ':443' || {p}",
+    "'https://' || {h} || {p} || '/?utm_source=feed&utm_medium=a'",
+    "'https://' || {h} || {p} || '?ref=' || lang || '&utm_campaign=c'",
+)
+
+
+def _url_canon_sql(dialect: str) -> str:
+    if dialect == "spark":
+        host = "('site' || CAST(doc_id % 120 % 10 AS STRING) || '.example')"
+        path = "('/p/' || CAST(doc_id % 120 AS STRING) || '/page')"
+        variant = "CAST((doc_id DIV 120) % 4 AS INT)"
+        kept = (
+            "array_join(filter(split(qs, '&'), "
+            "p -> p != '' AND NOT p rlike '^(utm_[^=]*|ref)='), '&')"
+        )
+    else:
+        host = "('site' || (doc_id % 120 % 10)::VARCHAR || '.example')"
+        path = "('/p/' || (doc_id % 120)::VARCHAR || '/page')"
+        variant = "((doc_id // 120) % 4)::INT"
+        # coalesce: DuckDB's array_to_string over an EMPTY list yields NULL
+        # (Spark's array_join yields ''), which would null the whole concat
+        kept = (
+            "coalesce(array_to_string(list_filter(string_split(qs, '&'), "
+            "p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref)=')), '&'), '')"
+        )
+    cases = "\n    ".join(
+        f"WHEN {i} THEN {c.format(h=host, p=path)}"
+        for i, c in enumerate(_URL_MESSY_CASES)
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         CASE {variant}
+    {cases}
+    END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+         regexp_extract(url, '[?]([^#]*)', 1) AS qs
+  FROM u),
+norm AS (
+  SELECT doc_id,
+         scheme || '://' ||
+         CASE WHEN scheme = 'https' AND auth LIKE '%:443'
+                THEN substr(auth, 1, length(auth) - 4)
+              WHEN scheme = 'http' AND auth LIKE '%:80'
+                THEN substr(auth, 1, length(auth) - 3)
+              ELSE auth END ||
+         CASE WHEN path0 <> '/' AND path0 LIKE '%/'
+                THEN substr(path0, 1, length(path0) - 1)
+              ELSE path0 END ||
+         CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+  FROM (SELECT parts.*, {kept} AS kept FROM parts) q)
+SELECT canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM norm GROUP BY canon_url
+"""
+
+
+_SQL_URL_CANON_SPARK = _url_canon_sql("spark")
+_SQL_URL_CANON_DUCK = _url_canon_sql("duck")
+
 # Domain-level rollup (crawl analytics: docs/langs/size per host) over the
 # same synthesized URLs: one partial-aggregated shuffle on host.
 _SQL_DOMAIN_ROLLUP_SPARK = f"""
@@ -2812,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
         "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
         "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
+        "url_canonical_dedup": _sql_query(_SQL_URL_CANON_SPARK, "documents"),
         "domain_rollup": _sql_query(_SQL_DOMAIN_ROLLUP_SPARK, "documents"),
         "dup_ngram_ratio": _sql_query(_SQL_DUP_NGRAM_SPARK, "documents"),
         "sequence_pack": _sql_query(_SQL_SEQ_PACK_SPARK, "documents"),
@@ -2911,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECON_DUCK,
         "paragraph_dedup": _SQL_PARA_DEDUP_DUCK,
         "url_features": _SQL_URL_FEATURES_DUCK,
+        "url_canonical_dedup": _SQL_URL_CANON_DUCK,
         "domain_rollup": _SQL_DOMAIN_ROLLUP_DUCK,
         "dup_ngram_ratio": _SQL_DUP_NGRAM_DUCK,
         "sequence_pack": _SQL_SEQ_PACK_DUCK,
