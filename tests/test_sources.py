@@ -123,10 +123,9 @@ def test_warc_roundtrip_byte_identical(spark, pages_unit_path, tmp_path):
 
 
 def test_warc_corrupt_and_foreign_records(spark, pages_unit_path, tmp_path):
-    """Corrupt gzip members -> error rows (and end that archive's scan, as
-    gzip allows no resync without a cdx offset index); warcinfo/request
-    records are skipped; records after the corrupt member in OTHER files
-    still parse."""
+    """Corrupt gzip members -> ONE error row per corrupt region, and the
+    scan RESYNCS on the next gzip member magic (r5, VERDICT r4 #5) so the
+    archive's tail is recovered; warcinfo/request records are skipped."""
     import gzip
 
     from datetime import datetime
@@ -146,12 +145,47 @@ def test_warc_corrupt_and_foreign_records(spark, pages_unit_path, tmp_path):
     got = sources.read_pages_warc(spark, wd).collect()
     ok = [r for r in got if r["status"] == "ok"]
     errs = [r for r in got if r["status"] != "ok"]
-    assert {r["url"] for r in ok} == {u for u, *_ in rows[:3]}
     assert len(errs) == 1 and errs[0]["status"] == "error:corrupt gzip member"
     assert errs[0]["url"].endswith("part-zz.warc.gz")
-    # the good record AFTER the corrupt member in the same file is lost by
-    # design (no resync) — pinned so a future indexed reader shows up here
-    assert all(r["url"] != "https://after.example/x" for r in ok)
+    # the good record AFTER the corrupt member is RECOVERED by the resync
+    assert {r["url"] for r in ok} == {u for u, *_ in rows[:3]} | {
+        "https://after.example/x"
+    }
+
+
+def test_warc_plain_scan_resyncs_past_corrupt_member(spark, pages_unit_path, tmp_path):
+    """VERDICT r4 #5 done-criterion: corrupt a member in the MIDDLE of a
+    plain (non-indexed) archive — every subsequent record still parses,
+    with exactly one typed error row for the corrupt member, and the
+    recovered records stay byte-identical to the parquet originals."""
+    import zlib
+
+    wd = str(tmp_path / "warc")
+    rows = _pages_rows(spark, pages_unit_path)[:9]
+    sources.write_pages_warc(rows, wd)  # single archive, member-per-record
+
+    path = f"{wd}/part-00000.warc.gz"
+    blob = open(path, "rb").read()
+    # locate member boundaries by walking the stream, then corrupt the 4th
+    offs, pos = [], 0
+    while pos < len(blob):
+        offs.append(pos)
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(blob[pos:])
+        pos = len(blob) - len(d.unused_data)
+    victim = offs[3]
+    mut = bytearray(blob)
+    mut[victim + 3 : victim + 11] = b"\xde\xad\xbe\xef\xde\xad\xbe\xef"
+    open(path, "wb").write(bytes(mut))
+
+    got = sources.read_pages_warc(spark, wd).collect()
+    ok = {r["url"]: (r["warc_ts"], bytes(r["html"]), r["lang"]) for r in got
+          if r["status"] == "ok"}
+    errs = [r for r in got if r["status"] != "ok"]
+    assert len(errs) == 1 and errs[0]["status"] == "error:corrupt gzip member"
+    want = {u: (ts, bytes(h), lg) for u, ts, h, lg in rows}
+    lost = rows[3][0]
+    assert ok == {u: v for u, v in want.items() if u != lost}
 
 
 def test_warc_truncated_and_malformed_records(spark, tmp_path):
@@ -255,4 +289,40 @@ def test_warc_indexed_corrupt_index_entries_are_error_rows(spark, pages_unit_pat
     ok = {r["url"] for r in got if r["status"] == "ok"}
     errs = [r for r in got if r["status"] != "ok"]
     assert len(errs) == 2 and all(r["status"].startswith("error:") for r in errs)
+    assert ok == {u for u, *_ in rows} - {idx[1]["url"], idx[2]["url"]}
+
+
+def test_warc_indexed_missing_archive_and_traversal_are_error_rows(
+    spark, pages_unit_path, tmp_path
+):
+    """ADVICE r4: an index entry naming a missing archive must be an error
+    row (not an unhandled FileNotFoundError failing the task), and a 'file'
+    field that escapes the archive dir via ../ traversal is rejected."""
+    import json
+
+    wd = str(tmp_path / "warc")
+    rows = _pages_rows(spark, pages_unit_path)[:6]
+    sources.write_pages_warc_indexed(rows, wd)
+    # a secret outside the archive dir that traversal must NOT read
+    secret = tmp_path / "secret.warc.gz"
+    secret.write_bytes(b"\x1f\x8b\x08garbage")
+
+    idx = [json.loads(ln) for ln in open(f"{wd}/index.cdxj")]
+    idx[1]["file"] = "gone-00042.warc.gz"
+    idx[2]["file"] = "../secret.warc.gz"
+    with open(f"{wd}/index.cdxj", "w") as f:
+        for rec in idx:
+            f.write(json.dumps(rec) + "\n")
+
+    got = sources.read_pages_warc_indexed(spark, wd).collect()
+    ok = {r["url"] for r in got if r["status"] == "ok"}
+    by_status = {}
+    for r in got:
+        if r["status"] != "ok":
+            by_status.setdefault(r["status"], []).append(r["url"])
+    assert sorted(by_status) == [
+        "error:index path escapes archive dir",
+        "error:missing archive",
+    ], by_status
+    assert by_status["error:index path escapes archive dir"][0].startswith("..")
     assert ok == {u for u, *_ in rows} - {idx[1]["url"], idx[2]["url"]}
