@@ -43,14 +43,30 @@ public class MiniRowLevelOperation implements RowLevelOperation {
 
   @Override
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
+    // One operation = one scan: the write commits against the retained-group
+    // set of THE scan Spark planned it with. If Spark ever re-plans and asks
+    // for a second scan, silently letting the newest scan govern an earlier
+    // write's commit would corrupt the copy-on-write group set — fail fast
+    // instead (ADVICE r4).
+    if (scan != null) {
+      throw new IllegalStateException(
+          "MiniRowLevelOperation: newScanBuilder called twice for one row-level"
+              + " operation; the write's retained-group binding would be ambiguous");
+    }
     scan = new MiniRowLevelScan(key, tableSchema);
     return scan;
   }
 
   @Override
   public WriteBuilder newWriteBuilder(LogicalWriteInfo info) {
+    // Bind the scan explicitly at write-build time: a row-level write with
+    // no planned scan has no retained-group set to commit against.
     final MiniRowLevelScan s = scan;
-    return new MiniWriteBuilder(
-        key, tableSchema, info.schema(), true, () -> s == null ? null : s.retainedGroups());
+    if (s == null) {
+      throw new IllegalStateException(
+          "MiniRowLevelOperation: newWriteBuilder before newScanBuilder — "
+              + "row-level commit needs the planned scan's retained groups");
+    }
+    return new MiniWriteBuilder(key, tableSchema, info.schema(), true, s::retainedGroups);
   }
 }

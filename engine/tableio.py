@@ -319,9 +319,33 @@ def compact(
     bucket directory holding more than ``max_files_per_bucket`` data files
     into a single file. Clean buckets are untouched (their files keep
     identity and mtime — same discipline as the dirty-bucket merge).
-    Returns the compacted bucket ids."""
+    Returns the compacted bucket ids.
+
+    Crash-safe write-then-swap (ADVICE r4): fresh files land in an
+    underscore-prefixed tmp dir (invisible to Hadoop/Spark partition
+    discovery), the swap is two atomic renames (bucket dir aside -> tmp
+    into place), and the old data is deleted LAST — every intermediate
+    state still reads consistently, and an interrupted swap is self-healed
+    on the next compact() (a leftover aside dir with no live bucket dir is
+    the pre-swap data and is restored)."""
     if not _is_bucketed(target_path):
         return []
+    # self-heal interrupted swaps from a prior crash
+    for d in sorted(os.listdir(target_path)):
+        full = os.path.join(target_path, d)
+        if d.startswith("_compact-"):
+            shutil.rmtree(full)  # incomplete fresh write: old data is live
+        elif d.startswith("_gc-"):
+            # names avoid '=' (a partition-discovery trigger even under a
+            # leading underscore): "bucket-N" encodes the live "bucket=N"
+            live = os.path.join(
+                target_path,
+                d.split("-", 2)[2].replace("bucket-", "bucket=", 1),
+            )
+            if os.path.exists(live):
+                shutil.rmtree(full)  # swap completed: aside dir is garbage
+            else:
+                os.rename(full, live)  # crashed between the two renames
     done: list[int] = []
     for d in sorted(os.listdir(target_path)):
         if not d.startswith("bucket="):
@@ -333,14 +357,14 @@ def compact(
         # bucket files exclude the partition column (dir name carries it),
         # so a direct dir read/write round-trips the exact file schema
         df = spark.read.parquet(bdir)
-        tmp = f"{bdir}.compact-{uuid.uuid4().hex[:8]}"
+        tag = uuid.uuid4().hex[:8]
+        safe = d.replace("bucket=", "bucket-", 1)
+        tmp = os.path.join(target_path, f"_compact-{tag}-{safe}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        fresh = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-        shutil.rmtree(bdir)
-        os.makedirs(bdir)
-        for f in fresh:
-            os.rename(os.path.join(tmp, f), os.path.join(bdir, f))
-        shutil.rmtree(tmp)
+        aside = os.path.join(target_path, f"_gc-{tag}-{safe}")
+        os.rename(bdir, aside)
+        os.rename(tmp, bdir)
+        shutil.rmtree(aside)
         done.append(int(d.split("=", 1)[1]))
     return done
 

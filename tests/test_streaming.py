@@ -267,6 +267,62 @@ def test_neardedup_stream_applies_bucket_cap(spark, tmp_path):
     assert (100, 101) in got, "cross-batch near-dup pair lost"
 
 
+def test_neardedup_stream_midstream_cap_crossing_is_superset(spark, tmp_path):
+    """ADVICE r4: when a bucket crosses LSH_BUCKET_CAP MID-stream, pairs
+    emitted while it was small persist (append-only sinks cannot retract),
+    so streaming output is a strict SUPERSET of the batch query on the
+    union corpus — and the extras are exactly the pre-crossing era's pairs.
+    30 clones arrive in batch 1 (under the 50 cap → their pairs emit), 30
+    more in batch 2 (cumulative 60 > cap → bucket dropped, no new pairs)."""
+    import os
+    import shutil
+
+    import __spark_entry__ as em
+    from engine.streaming import neardedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = [(i, base) for i in range(30)]
+    b2 = [(i, base) for i in range(30, 60)]
+    docs_dir = str(tmp_path / "docs")
+    sig_dir = str(tmp_path / "sigs")
+    pairs_dir = str(tmp_path / "pairs")
+    cp_dir = str(tmp_path / "cp")
+    os.makedirs(docs_dir)
+
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1).write.parquet(
+        docs_dir, mode="append"
+    )
+    neardedup_stream(spark, docs_dir, sig_dir, pairs_dir, cp_dir)
+    first = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert first == {(a, b) for a in range(30) for b in range(30) if a < b}
+
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "b2"), mode="overwrite"
+    )
+    for f in os.listdir(str(tmp_path / "b2")):
+        if f.endswith(".parquet"):
+            shutil.copy(str(tmp_path / "b2" / f), f"{docs_dir}/batch2_{f}")
+    neardedup_stream(spark, docs_dir, sig_dir, pairs_dir, cp_dir)
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in spark.read.parquet(pairs_dir).collect()
+    }
+
+    union_dir = str(tmp_path / "union")
+    spark.createDataFrame(b1 + b2, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{union_dir}/documents.parquet", mode="overwrite")
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in em.queries()["minhash_lsh_pairs"](spark, union_dir).collect()
+    }
+    assert batch_pairs == set()  # the batch query drops the oversized bucket
+    # the documented monotonicity caveat, pinned: strict superset, and the
+    # extras are exactly the pairs emitted before the bucket crossed the cap
+    assert got > batch_pairs and got == first
+
+
 def test_incremental_extract_warc_matches_batch(spark, pages_unit_path, tmp_path):
     """r4: streaming ingest straight off .warc.gz archives — two
     AvailableNow passes (second processes only the newly landed archive)

@@ -229,3 +229,48 @@ def test_compact_buckets_preserves_content(spark, tmp_path):
     assert hit is not None and hit.count() == 1
     # idempotent: second compact is a no-op
     assert tableio.compact(spark, path) == []
+
+
+def test_compact_crash_states_read_consistently_and_self_heal(spark, tmp_path):
+    """ADVICE r4: compaction is write-then-swap — simulate every crash
+    state and assert (a) the table reads its exact pre-compact contents in
+    each state (aside/tmp dirs are underscore-prefixed, invisible to
+    partition discovery), and (b) the next compact() self-heals."""
+    import os
+    import shutil
+
+    from engine import tableio
+
+    path = str(tmp_path / "tbl")
+    rows = [(f"u{i}", f"t{i}", 1) for i in range(64)]
+    df = spark.createDataFrame(rows, "url string, extracted_text string, ver long")
+    tableio.merge_by_url(spark, path, df.repartition(8), n_buckets=4)
+    want = sorted(tuple(r) for r in spark.read.parquet(path).drop("bucket").collect())
+
+    def table():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).drop("bucket").collect()
+        )
+
+    # crash state 1: fresh write completed into _compact- tmp, swap not begun
+    bdir = os.path.join(path, "bucket=0")
+    spark.read.parquet(bdir).coalesce(1).write.parquet(
+        os.path.join(path, "_compact-deadbeef-bucket-0")
+    )
+    assert table() == want  # tmp dir invisible to readers
+    tableio.compact(spark, path)
+    assert not os.path.exists(os.path.join(path, "_compact-deadbeef-bucket-0"))
+    assert table() == want
+
+    # crash state 2: crashed between the two renames (bucket dir aside,
+    # fresh dir not yet moved in) — data lives only in the aside dir
+    os.rename(bdir, os.path.join(path, "_gc-cafebabe-bucket-0"))
+    assert tableio.compact(spark, path) == []  # heals: restores the aside dir
+    assert os.path.isdir(bdir) and table() == want
+
+    # crash state 3: swap completed, old aside dir not yet deleted
+    shutil.copytree(bdir, os.path.join(path, "_gc-0badf00d-bucket-0"))
+    assert table() == want  # aside dir invisible: no doubled rows
+    tableio.compact(spark, path)
+    assert not os.path.exists(os.path.join(path, "_gc-0badf00d-bucket-0"))
+    assert table() == want
