@@ -41,6 +41,48 @@ def _force(df) -> int:
     return 0
 
 
+REFERENCE_TIMINGS_PATH = os.path.join(REPO, "BENCH", "reference_timings.json")
+
+
+def load_reference_timings(path: str = REFERENCE_TIMINGS_PATH) -> dict[str, float]:
+    """Committed good-window per-query timings (seconds). Missing file ->
+    empty dict (the spread heuristic still applies)."""
+    try:
+        with open(path, encoding="utf-8") as f:
+            return {k: float(v) for k, v in json.load(f)["queries"].items()}
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+def throttle_flags(
+    timings: dict[str, float],
+    spread: dict[str, float],
+    reference: dict[str, float],
+    spread_ratio: float = 2.0,
+    ref_ratio: float = 3.0,
+) -> list[str]:
+    """Per-query throttle suspicion (VERDICT r4 #4). Two signals:
+
+    - intra-run: spread/best > ``spread_ratio`` (both samples must straddle
+      the window edge for this to fire — the r2 heuristic);
+    - cross-run: best > ``ref_ratio`` x the committed good-window reference
+      (catches a whole-run throttle window where every sample is slow and
+      the spread looks clean — the r4 driver artifact carried an 8x simhash
+      spike the spread-only heuristic missed).
+
+    Queries absent from the reference fall back to spread-only."""
+    flagged = set()
+    for name, best in timings.items():
+        if best <= 0:
+            continue
+        if spread.get(name, 0.0) / best > spread_ratio:
+            flagged.add(name)
+        ref = reference.get(name)
+        if ref is not None and ref > 0 and best > ref_ratio * ref:
+            flagged.add(name)
+    return sorted(flagged)
+
+
 def main() -> None:
     import __spark_entry__ as em
     from engine.pipeline import run_extract
@@ -103,6 +145,7 @@ def main() -> None:
         "simhash_fingerprint",
         "embedding_topk",
         "ann_ivf_topk",
+        "ann_ivf_topk_trained",
         "asof_join",
         "quality_score",
         "broadcast_rollup",
@@ -166,10 +209,7 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 3)
-    throttled = sorted(
-        n for n, b in timings.items()
-        if b > 0 and spread.get(n, 0.0) / b > 2.0
-    )
+    throttled = throttle_flags(timings, spread, load_reference_timings())
     print(
         json.dumps(
             {

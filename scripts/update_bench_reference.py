@@ -1,0 +1,50 @@
+"""Refresh BENCH/reference_timings.json (the throttle detector's
+good-window per-query reference) from a bench artifact measured in a
+HEALTHY host window.
+
+Discipline (CLAUDE.md): probe local[8] first and only record from a
+window where the extract probe clears ~5000 docs/s — a reference captured
+inside a throttle window would mask future spikes.
+
+    python scripts/update_bench_reference.py path/to/bench_rN_local.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH", "reference_timings.json")
+
+
+def main() -> None:
+    if len(sys.argv) != 2:
+        sys.exit(__doc__)
+    src = sys.argv[1]
+    with open(src, encoding="utf-8") as f:
+        artifact = json.load(f)
+    if artifact.get("throttling_suspected"):
+        sys.exit(
+            f"refusing: {src} itself flags throttling_suspected="
+            f"{artifact['throttling_suspected']} — measure in a clean window"
+        )
+    payload = {
+        "_comment": (
+            "Per-query good-window reference for bench.py's throttle "
+            "detector (VERDICT r4 #4): best-of-N seconds measured in a "
+            "healthy host window at sf0.1 local[32]. Refresh via "
+            "scripts/update_bench_reference.py when code changes move a "
+            "query's honest cost."
+        ),
+        "source": os.path.relpath(src, REPO),
+        "queries": artifact["queries"],
+    }
+    with open(OUT, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {OUT} from {src} ({len(artifact['queries'])} queries)")
+
+
+if __name__ == "__main__":
+    main()

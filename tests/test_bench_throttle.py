@@ -1,0 +1,48 @@
+"""bench.py throttle heuristic (VERDICT r4 #4): the r4 driver artifact
+carried an 8x simhash host-throttle spike that the spread-only detector
+missed (both samples sat inside the slow window, so the spread looked
+clean). The detector now also compares each query's best against the
+committed good-window reference (BENCH/reference_timings.json) and flags
+>3x divergence."""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_reference_artifact_is_committed_and_loads():
+    ref = bench.load_reference_timings()
+    assert ref and all(v > 0 for v in ref.values())
+    # the query whose r4 spike motivated the detector must be covered
+    assert "simhash_fingerprint" in ref
+
+
+def test_whole_window_spike_is_flagged_by_reference():
+    """The exact r4 miss, replayed: simhash 11.47 s vs a 1.42 s good-window
+    reference with a clean 0.2 s spread — must now be flagged."""
+    ref = {"simhash_fingerprint": 1.42}
+    timings = {"simhash_fingerprint": 11.47}
+    spread = {"simhash_fingerprint": 0.2}
+    assert bench.throttle_flags(timings, spread, ref) == ["simhash_fingerprint"]
+
+
+def test_honest_wobble_is_not_flagged():
+    """2-3x is this VM's documented normal wobble — below both thresholds."""
+    assert bench.throttle_flags({"q": 2.9}, {"q": 0.5}, {"q": 1.0}) == []
+
+
+def test_spread_heuristic_still_fires_without_reference():
+    assert bench.throttle_flags({"q": 1.0}, {"q": 2.5}, {}) == ["q"]
+
+
+def test_both_signals_union_and_sort():
+    got = bench.throttle_flags(
+        {"a": 1.0, "b": 10.0, "c": 1.0},
+        {"a": 3.0, "b": 0.1, "c": 0.1},
+        {"b": 1.0, "c": 1.0},
+    )
+    assert got == ["a", "b"]
+
+
+def test_missing_reference_file_degrades_gracefully(tmp_path):
+    assert bench.load_reference_timings(str(tmp_path / "nope.json")) == {}
