@@ -27,6 +27,14 @@ public class MiniRowLevelScan extends MiniScan implements SupportsRuntimeV2Filte
     super(key, tableSchema, null);
   }
 
+  /** Never stats-skip a row-level scan: the group-scoped commit replaces
+   *  every retained group with this scan's output, so a group skipped here
+   *  but retained by the runtime filter would lose its rows. */
+  @Override
+  protected boolean statsSkipAllowed() {
+    return false;
+  }
+
   /** null = never filtered (treat as all groups). */
   int[] retainedGroups() {
     return retained;

@@ -11,10 +11,19 @@ import org.apache.spark.sql.connector.read.PartitionReader;
 import org.apache.spark.sql.connector.read.PartitionReaderFactory;
 import org.apache.spark.sql.connector.read.Scan;
 import org.apache.spark.sql.connector.read.ScanBuilder;
+import org.apache.spark.sql.connector.read.SupportsPushDownFilters;
 import org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns;
+import org.apache.spark.sql.sources.EqualTo;
+import org.apache.spark.sql.sources.Filter;
+import org.apache.spark.sql.sources.GreaterThan;
+import org.apache.spark.sql.sources.GreaterThanOrEqual;
+import org.apache.spark.sql.sources.LessThan;
+import org.apache.spark.sql.sources.LessThanOrEqual;
 import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.StringType;
 import org.apache.spark.sql.types.StructField;
 import org.apache.spark.sql.types.StructType;
+import org.apache.spark.unsafe.types.UTF8String;
 
 /**
  * Group-per-partition scan (r4): one input partition per storage group —
@@ -25,11 +34,14 @@ import org.apache.spark.sql.types.StructType;
  * analog), which the runtime group-filtering rule uses to prune MERGE
  * rewrites to matched groups only.
  */
-public class MiniScan implements ScanBuilder, Scan, Batch, SupportsPushDownRequiredColumns {
+public class MiniScan
+    implements ScanBuilder, Scan, Batch, SupportsPushDownRequiredColumns,
+        SupportsPushDownFilters {
   protected final String key;
   protected final StructType tableSchema;
   protected final Long snapshotId;
   private StructType readSchema;
+  private Filter[] skipFilters = new Filter[0];
 
   MiniScan(String key, StructType tableSchema, Long snapshotId) {
     this.key = key;
@@ -41,6 +53,114 @@ public class MiniScan implements ScanBuilder, Scan, Batch, SupportsPushDownRequi
   @Override
   public void pruneColumns(StructType requiredSchema) {
     this.readSchema = requiredSchema;
+  }
+
+  /** Row-level scans must NOT stats-skip: the commit replaces exactly the
+   *  retained groups with the scan's output, so a skipped group's rows
+   *  would be lost. Plain reads only (the manifest-pruning analog). */
+  protected boolean statsSkipAllowed() {
+    return snapshotId == null; // current stats describe the CURRENT groups
+  }
+
+  @Override
+  public Filter[] pushFilters(Filter[] filters) {
+    if (statsSkipAllowed()) {
+      ArrayList<Filter> usable = new ArrayList<>();
+      for (Filter f : filters) {
+        if (boundOf(f) != null) {
+          usable.add(f);
+        }
+      }
+      skipFilters = usable.toArray(new Filter[0]);
+    }
+    // everything stays a residual: skipping prunes GROUPS, rows inside a
+    // surviving group still need the predicate evaluated by Spark
+    return filters;
+  }
+
+  @Override
+  public Filter[] pushedFilters() {
+    return skipFilters;
+  }
+
+  /** (column index, comparison value, op) of a supported simple filter, or
+   *  null when min/max skipping cannot use it. */
+  private Object[] boundOf(Filter f) {
+    String col;
+    Object val;
+    if (f instanceof EqualTo) {
+      col = ((EqualTo) f).attribute();
+      val = ((EqualTo) f).value();
+    } else if (f instanceof GreaterThan) {
+      col = ((GreaterThan) f).attribute();
+      val = ((GreaterThan) f).value();
+    } else if (f instanceof GreaterThanOrEqual) {
+      col = ((GreaterThanOrEqual) f).attribute();
+      val = ((GreaterThanOrEqual) f).value();
+    } else if (f instanceof LessThan) {
+      col = ((LessThan) f).attribute();
+      val = ((LessThan) f).value();
+    } else if (f instanceof LessThanOrEqual) {
+      col = ((LessThanOrEqual) f).attribute();
+      val = ((LessThanOrEqual) f).value();
+    } else {
+      return null;
+    }
+    if (val == null || col.equals(MiniTable.GROUP_COL)
+        || !java.util.Arrays.asList(tableSchema.fieldNames()).contains(col)) {
+      return null;
+    }
+    int idx = tableSchema.fieldIndex(col);
+    DataType t = tableSchema.fields()[idx].dataType();
+    if (t instanceof StringType) {
+      val = UTF8String.fromString(val.toString());
+    } else if (val instanceof java.sql.Timestamp) {
+      java.sql.Timestamp ts = (java.sql.Timestamp) val;
+      val = ts.getTime() * 1000L + (ts.getNanos() % 1_000_000) / 1000;
+    } else if (val instanceof java.time.Instant) {
+      java.time.Instant in = (java.time.Instant) val;
+      val = in.getEpochSecond() * 1_000_000L + in.getNano() / 1000;
+    }
+    if (!(val instanceof Comparable)) {
+      return null;
+    }
+    return new Object[] {idx, val, f};
+  }
+
+  /** min/max refutation: can any row of a group with stats {@code st}
+   *  satisfy {@code f}? Unknown/missing/mistyped stats -> true (scan it). */
+  @SuppressWarnings({"unchecked", "rawtypes"})
+  private boolean groupCanMatch(Object[] st, Filter f) {
+    Object[] b = boundOf(f);
+    if (st == null || b == null) {
+      return true;
+    }
+    int idx = (Integer) b[0];
+    if (2 * idx + 1 >= st.length) {
+      return true;
+    }
+    Object mn = st[2 * idx];
+    Object mx = st[2 * idx + 1];
+    Comparable v = (Comparable) b[1];
+    if (mn == null || mx == null || mn.getClass() != v.getClass()) {
+      return true;
+    }
+    if (f instanceof EqualTo) {
+      return v.compareTo(mn) >= 0 && v.compareTo(mx) <= 0;
+    }
+    if (f instanceof GreaterThan) {
+      return v.compareTo(mx) < 0;
+    }
+    if (f instanceof GreaterThanOrEqual) {
+      return v.compareTo(mx) <= 0;
+    }
+    if (f instanceof LessThan) {
+      return v.compareTo(mn) > 0;
+    }
+    if (f instanceof LessThanOrEqual) {
+      return v.compareTo(mn) >= 0;
+    }
+    return true;
   }
 
   @Override
@@ -78,9 +198,25 @@ public class MiniScan implements ScanBuilder, Scan, Batch, SupportsPushDownRequi
       }
     }
     ArrayList<ArrayList<InternalRow>> groups = MiniStore.groupsAt(key, snapshotId);
+    Object[][] stats =
+        skipFilters.length > 0 && statsSkipAllowed()
+            ? MiniStore.groupColumnStats(key)
+            : null;
     ArrayList<InputPartition> parts = new ArrayList<>();
     for (int g = 0; g < MiniStore.NUM_GROUPS; g++) {
-      if (groupRetained(g) && !groups.get(g).isEmpty()) {
+      if (!groupRetained(g) || groups.get(g).isEmpty()) {
+        continue;
+      }
+      boolean canMatch = true;
+      if (stats != null) {
+        for (Filter f : skipFilters) {
+          if (!groupCanMatch(stats[g], f)) {
+            canMatch = false; // manifest min/max refutes: skip the group
+            break;
+          }
+        }
+      }
+      if (canMatch) {
         parts.add(new MiniInputPartition(g, groups.get(g), srcIdx, types));
       }
     }

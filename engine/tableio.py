@@ -95,6 +95,105 @@ def _write_layout(path: str, n_buckets: int) -> None:
         json.dump({"n_buckets": n_buckets}, f)
 
 
+# Columns whose per-bucket min/max are recorded in _layout.json (r5,
+# VERDICT r4 #7 — the manifest-level stats that make Iceberg range queries
+# cheap: `read_range` skips every bucket whose [min,max] cannot overlap).
+STATS_COLS = ("doc_id", "warc_ts")
+
+
+def _stat_cast(df: DataFrame, col: str):
+    """Stat values are stored JSON-plain: timestamps as epoch seconds
+    (DOUBLE; session tz is pinned UTC), numerics as-is."""
+    return F.col(col).cast("double") if dict(df.dtypes)[col] == "timestamp" else F.col(col)
+
+
+def _refresh_stats(spark: SparkSession, path: str, buckets=None) -> None:
+    """Recompute per-bucket min/max for the STATS_COLS present in the table
+    schema and merge them into ``_layout.json`` — the Iceberg manifest
+    min/max analog. ``buckets=None`` refreshes every bucket; a merge passes
+    only its dirty buckets (stats cost stays O(updates), like the merge
+    itself)."""
+    layout_file = os.path.join(path, "_layout.json")
+    if not os.path.exists(layout_file):
+        return
+    with open(layout_file, encoding="utf-8") as f:
+        layout = json.load(f)
+    dirs = [
+        os.path.join(path, d)
+        for d in sorted(os.listdir(path))
+        if d.startswith("bucket=")
+        and (buckets is None or int(d.split("=", 1)[1]) in set(buckets))
+    ]
+    if not dirs:
+        return
+    df = spark.read.option("basePath", path).parquet(*dirs)
+    cols = [c for c in STATS_COLS if c in df.columns]
+    if not cols:
+        return
+    aggs = []
+    for c in cols:
+        e = _stat_cast(df, c)
+        aggs += [F.min(e).alias(f"mn_{c}"), F.max(e).alias(f"mx_{c}")]
+    rows = df.groupBy("bucket").agg(*aggs).collect()
+    stats = layout.setdefault("stats", {})
+    for r in rows:
+        stats[str(r["bucket"])] = {
+            c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in cols
+        }
+    with open(layout_file, "w", encoding="utf-8") as f:
+        json.dump(layout, f)
+
+
+def read_range(
+    spark: SparkSession, path: str, col: str, lo, hi
+) -> DataFrame | None:
+    """Stats-pruned range read (r5): consult the per-bucket min/max in
+    ``_layout.json`` and list ONLY the bucket directories whose recorded
+    range overlaps ``[lo, hi]`` (inclusive) — strictly fewer files than the
+    full-table filter on selective ranges, equal results by construction
+    (pytest-pinned). Buckets with no recorded stats are conservatively
+    included; tables without stats fall back to the full filtered scan
+    (correct, just unpruned). Returns None when the table is missing."""
+    from datetime import datetime, timezone
+
+    if not os.path.exists(path):
+        return None
+
+    def plain(v):
+        if isinstance(v, datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=timezone.utc)
+            return v.timestamp()
+        return v
+
+    lo_v, hi_v = plain(lo), plain(hi)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    layout_file = os.path.join(path, "_layout.json")
+    if not _is_bucketed(path) or not os.path.exists(layout_file):
+        return read_table(spark, path).filter(pred)
+    with open(layout_file, encoding="utf-8") as f:
+        stats = json.load(f).get("stats", {})
+    dirs, skipped = [], 0
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("bucket="):
+            continue
+        s = stats.get(d.split("=", 1)[1], {}).get(col)
+        if s is not None and (s[0] is None or s[1] is None):
+            s = None  # all-null column in this bucket: no overlap evidence
+        if s is not None and (s[1] < lo_v or s[0] > hi_v):
+            skipped += 1
+            continue  # recorded [min,max] cannot overlap: skip the files
+        dirs.append(os.path.join(path, d))
+    if not dirs:  # nothing can match: empty result, same schema, no scan
+        return read_table(spark, path).filter(pred).limit(0)
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*dirs)
+        .drop("bucket")
+        .filter(pred)
+    )
+
+
 def read_url(spark: SparkSession, path: str, url: str) -> DataFrame | None:
     """Bucket-pruned point lookup: read ONLY the ``bucket=N`` subdirectory
     the url hashes into — O(table/n_buckets) I/O instead of a full scan,
@@ -226,6 +325,7 @@ def merge_by_url(
         upd.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         os.rename(tmp, target_path)
         _write_layout(target_path, n_buckets)
+        _refresh_stats(spark, target_path)
         return
     if not _is_bucketed(target_path):
         # one-time migration of a flat write_table layout: everything dirty
@@ -237,6 +337,7 @@ def merge_by_url(
         shutil.rmtree(target_path)
         os.rename(tmp, target_path)
         _write_layout(target_path, n_buckets)
+        _refresh_stats(spark, target_path)
         return
     dirty = sorted(
         r["bucket"] for r in upd.select("bucket").distinct().collect()
@@ -268,8 +369,13 @@ def merge_by_url(
         if os.path.exists(src):
             os.rename(src, dst)
     shutil.rmtree(tmp)
+    # the swap replaced files under an existing path: drop Spark's shared
+    # file-status cache entries so later reads don't chase deleted parts
+    spark.catalog.refreshByPath(target_path)
     if not os.path.exists(os.path.join(target_path, "_layout.json")):
         _write_layout(target_path, n_buckets)
+    # stats cost stays O(updates): only the dirty buckets are re-aggregated
+    _refresh_stats(spark, target_path, dirty)
 
 
 def remaining(pages: DataFrame, extracted_path: str) -> DataFrame:
@@ -366,6 +472,8 @@ def compact(
         os.rename(tmp, bdir)
         shutil.rmtree(aside)
         done.append(int(d.split("=", 1)[1]))
+    if done:
+        spark.catalog.refreshByPath(target_path)
     return done
 
 

@@ -231,6 +231,88 @@ def test_compact_buckets_preserves_content(spark, tmp_path):
     assert tableio.compact(spark, path) == []
 
 
+def test_range_read_skips_buckets_via_minmax_stats(spark, tmp_path):
+    """VERDICT r4 #7 (Iceberg manifest min/max pruning analog): merges
+    record per-bucket min/max for doc_id/warc_ts in _layout.json; a
+    selective read_range lists strictly fewer files than the full table
+    and returns exactly the full-scan filter's rows. Stats refresh
+    incrementally on merge (only dirty buckets re-aggregated)."""
+    import json
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import functions as F
+
+    from engine import tableio
+
+    path = str(tmp_path / "tbl")
+    urls = [f"u{i}" for i in range(64)]
+    # assign doc_id/warc_ts CLUSTERED by the url's merge bucket, the layout
+    # under which min/max stats can prune (time-correlated ingest batches)
+    buckets = {
+        r["url"]: r["b"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("b"))
+        .collect()
+    }
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for i, u in enumerate(sorted(urls, key=lambda u: (buckets[u], u))):
+        rows.append((u, 100 * buckets[u] + i % 100,
+                     t0 + timedelta(hours=buckets[u] * 24 + i), f"t{i}"))
+    df = spark.createDataFrame(
+        rows, "url string, doc_id long, warc_ts timestamp, extracted_text string"
+    )
+    tableio.merge_by_url(spark, path, df, n_buckets=8)
+
+    with open(f"{path}/_layout.json", encoding="utf-8") as f:
+        layout = json.load(f)
+    assert layout["stats"], "merge did not record min/max stats"
+    assert all(set(s) == {"doc_id", "warc_ts"} for s in layout["stats"].values())
+
+    # doc_id range covering exactly one bucket's span
+    got = tableio.read_range(spark, path, "doc_id", 300, 350)
+    full = spark.read.parquet(path).drop("bucket").filter(
+        "doc_id between 300 and 350"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+    n_all = len(spark.read.parquet(path).inputFiles())
+    assert 0 < len(got.inputFiles()) < n_all, "range scan did not skip files"
+
+    # timestamp range: one bucket's 24h day
+    lo, hi = t0 + timedelta(hours=48), t0 + timedelta(hours=71)
+    got_ts = tableio.read_range(spark, path, "warc_ts", lo, hi)
+    full_ts = spark.read.parquet(path).drop("bucket").filter(
+        (F.col("warc_ts") >= F.lit(lo)) & (F.col("warc_ts") <= F.lit(hi))
+    )
+    assert sorted(map(tuple, got_ts.collect())) == sorted(
+        map(tuple, full_ts.collect())
+    )
+    assert 0 < len(got_ts.inputFiles()) < n_all
+
+    # empty intersection: no bucket overlaps -> empty result, no data read
+    assert tableio.read_range(spark, path, "doc_id", 10_000, 20_000).count() == 0
+
+    # merge moves a row's doc_id outside its bucket's recorded range: stats
+    # must refresh (only the dirty bucket) or the row would be lost to skips
+    victim = rows[0][0]
+    upd = spark.createDataFrame(
+        [(victim, 9_999, t0, "moved")],
+        "url string, doc_id long, warc_ts timestamp, extracted_text string",
+    )
+    tableio.merge_by_url(spark, path, upd)
+    hit = tableio.read_range(spark, path, "doc_id", 9_000, 10_000)
+    assert [r["url"] for r in hit.collect()] == [victim]
+    assert len(hit.inputFiles()) < n_all
+
+    # statless table (flat write) falls back to a correct full filter
+    flat = str(tmp_path / "flat")
+    tableio.write_table(df, flat)
+    flat_got = tableio.read_range(spark, flat, "doc_id", 300, 350)
+    assert sorted(
+        (r["url"], r["doc_id"]) for r in flat_got.collect()
+    ) == sorted((u, d) for u, d, _, _ in rows if 300 <= d <= 350)
+
+
 def test_compact_crash_states_read_consistently_and_self_heal(spark, tmp_path):
     """ADVICE r4: compaction is write-then-swap — simulate every crash
     state and assert (a) the table reads its exact pre-compact contents in
