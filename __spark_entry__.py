@@ -2234,6 +2234,51 @@ SELECT tok AS token,
 FROM tok GROUP BY tok HAVING count(*) >= 5
 """
 
+# BPE round-1 merge table (r5, VERDICT r4 #8): the top-20 candidate pairs
+# of the FIRST byte-pair-encoding round — rank 1 is the merge the trainer
+# (engine/bpe.train_bpe, same construction by import) picks. Word counts =
+# one corpus shuffle; pair transform is in-row; ordering/tie-break is
+# (count DESC, pair ASC) in code-point order, identical in both engines
+# (UTF-8 byte order == code-point order). Iterated rounds are pinned
+# against the pure-Python twin in tests/test_bpe.py (rounds > 1 are not
+# single-statement SQL — the same scoping as _cc_min_label's round pins).
+_SQL_BPE_R1_SPARK = """
+WITH w AS (SELECT w, count(*) AS cnt
+           FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+           WHERE w != '' GROUP BY w),
+s AS (SELECT regexp_extract_all(w, '.', 0) AS syms, cnt FROM w
+      WHERE size(regexp_extract_all(w, '.', 0)) > 0),
+p AS (SELECT pr.l AS sym_a, pr.r AS sym_b, cnt FROM s
+      LATERAL VIEW explode(transform(slice(syms, 1, size(syms) - 1),
+                                     (x, i) -> struct(x AS l, syms[i + 1] AS r)))
+        t AS pr),
+c AS (SELECT sym_a, sym_b, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM p GROUP BY sym_a, sym_b)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b)
+              AS BIGINT) AS rank,
+         sym_a, sym_b, pair_count
+  FROM c) r
+WHERE rank <= 20
+"""
+_SQL_BPE_R1_DUCK = """
+WITH w AS (SELECT w, count(*) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE w != '' GROUP BY w),
+s AS (SELECT regexp_extract_all(w, '.') AS syms, cnt FROM w
+      WHERE len(regexp_extract_all(w, '.')) > 0),
+p AS (SELECT syms[i] AS sym_a, syms[i + 1] AS sym_b, cnt
+      FROM s, unnest(range(1, len(syms))) AS t(i)),
+c AS (SELECT sym_a, sym_b, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM p GROUP BY sym_a, sym_b)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, sym_a, sym_b)
+              AS BIGINT) AS rank,
+         sym_a, sym_b, pair_count
+  FROM c) r
+WHERE rank <= 20
+"""
+
 # Benchmark decontamination (new in r3): flag training documents sharing any
 # 8-gram with a benchmark set — the public eval-contamination gate (cf.
 # GPT-3/Gopher decontamination methodology). The "benchmark" is a
@@ -2888,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _sql_query(_SQL_PII_SPARK, "documents"),
         "doc_chunks": _sql_query(_SQL_DOC_CHUNKS_SPARK, "documents"),
         "vocab_df": _sql_query(_SQL_VOCAB_DF_SPARK, "documents"),
+        "bpe_merge_round1": _sql_query(_SQL_BPE_R1_SPARK, "documents"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
         "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
         "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
@@ -2988,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _SQL_PII_DUCK,
         "doc_chunks": _SQL_DOC_CHUNKS_DUCK,
         "vocab_df": _SQL_VOCAB_DF_DUCK,
+        "bpe_merge_round1": _SQL_BPE_R1_DUCK,
         "decontaminate": _SQL_DECON_DUCK,
         "paragraph_dedup": _SQL_PARA_DEDUP_DUCK,
         "url_features": _SQL_URL_FEATURES_DUCK,

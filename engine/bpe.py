@@ -1,0 +1,144 @@
+"""BPE-merge vocabulary training as DataFrame rounds (r5, VERDICT r4 #8)
+— the iterative byte-pair-encoding merge loop (Sennrich et al. 2016;
+GPT-2-style greedy left-to-right application) extending the ``vocab_df``
+token-frequency table.
+
+Spark shape — the same rounds-are-the-scarce-resource discipline as the
+connected-components ``_cc_min_label``:
+
+- word counts: ONE corpus shuffle, up front; everything after iterates
+  over the (distinct-word, count) table, which is vocabulary-sized, never
+  corpus-sized.
+- per round: pair counts are an in-row transform + explode + ONE
+  partial-aggregated groupBy; the winning pair is a driver-side argmax of
+  one row (constant-size collect, like the k×dim k-means state); the
+  merge application is a per-row left fold — ZERO shuffle.
+- lineage is cut per round (localCheckpoint) so round k's plan does not
+  re-execute rounds 1..k-1.
+
+Determinism: the winning pair maximizes count with ties broken by the
+lexicographically SMALLEST (left, right). All three implementations
+(this, the DuckDB round-1 oracle, the pure-Python pytest twin) compare
+strings in code-point order — UTF-8 byte order (Spark UTF8String, DuckDB
+binary collation) equals code-point order by UTF-8's design, and Python
+str comparison is code-point order.
+
+Symbols: a word (split on single spaces) starts as its characters via
+``regexp_extract_all(word, '.')`` — identical in Spark, DuckDB, and the
+Python twin (``re.findall('.', w)``); '.' excludes newlines in all three,
+a documented tokenizer rule, and no word-end marker is used.
+
+Reference analog: the load-once trained-model pattern M9
+(urdu_recognition_utrnet.py:53-96) — train the merge table once, apply it
+corpus-wide ever after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# pair candidates from a symbol array: struct(l, r) for each adjacent pair
+# (Spark [] indexing is 0-based; transform's i indexes the slice)
+PAIRS_EXPR = (
+    "transform(slice(syms, 1, size(syms) - 1), "
+    "(x, i) -> struct(x AS l, syms[i + 1] AS r))"
+)
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """(syms array<string>, cnt bigint): one corpus shuffle, then the
+    training loop never touches the corpus again."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where("w != ''")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.expr("regexp_extract_all(w, '.', 0)").alias("syms"), "cnt")
+        .where(F.size("syms") > 0)
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(sym_a, sym_b, pair_count) over the weighted word table — in-row
+    pair transform, one partial-aggregated groupBy."""
+    return (
+        words.select(F.explode(F.expr(PAIRS_EXPR)).alias("p"), "cnt")
+        .groupBy(F.col("p.l").alias("sym_a"), F.col("p.r").alias("sym_b"))
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+    )
+
+
+def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of adjacent (a, b) -> a||b inside each
+    symbol array — a per-row fold, zero shuffle. Column lambdas (not SQL
+    text) so arbitrary symbols need no literal escaping."""
+    merged = F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return words.select(merged.alias("syms"), "cnt")
+
+
+def train_bpe(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
+    """k BPE merges over the corpus. Returns
+    ``[(merge_rank, sym_a, sym_b, pair_count), ...]`` (rank 1-based, the
+    order a tokenizer applies them). Stops early when no pair remains."""
+    words = word_counts(docs).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, int(k) + 1):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0]["sym_a"], top[0]["sym_b"], int(top[0]["pair_count"])
+        merges.append((r, a, b, c))
+        words = apply_merge(words, a, b).localCheckpoint()
+    return merges
+
+
+def python_bpe(texts: list[str], k: int) -> list[tuple[int, str, str, int]]:
+    """Pure-Python reference twin (pytest oracle for the iterated rounds):
+    same tokenizer rule, same tie-break, same greedy fold."""
+    import re
+    from collections import Counter
+
+    wc: Counter = Counter(w for t in texts for w in t.split(" ") if w)
+    syms: Counter = Counter()
+    for w, c in wc.items():
+        t = tuple(re.findall(".", w))
+        if t:
+            syms[t] += c
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, int(k) + 1):
+        pc: Counter = Counter()
+        for t, c in syms.items():
+            for i in range(len(t) - 1):
+                pc[(t[i], t[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a, b, c))
+        nxt: Counter = Counter()
+        for t, cnt in syms.items():
+            out: list[str] = []
+            for s in t:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt[tuple(out)] += cnt
+        syms = nxt
+    return merges

@@ -1,0 +1,83 @@
+"""BPE-merge vocabulary training (engine/bpe, r5 — VERDICT r4 #8): the
+DataFrame trainer's merge sequence equals the pure-Python twin on unit
+corpora (iterated rounds), round 1 agrees with the oracled registry query,
+ties break lexicographically, and repeated runs are identical."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine import bpe
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest wide",
+    "low and newer and lower still",
+]
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_train_bpe_equals_python_twin(spark):
+    want = bpe.python_bpe(CORPUS, 12)
+    got = bpe.train_bpe(_docs(spark, CORPUS), 12)
+    assert got == want
+    assert len(got) == 12
+    # merges compound: some later merge consumes an earlier merged symbol
+    merged_syms = {a + b for _, a, b, _ in got}
+    assert any(a in merged_syms or b in merged_syms for _, a, b, _ in got[1:])
+
+
+def test_tie_break_is_lexicographic(spark):
+    """'ab' and 'ba' pairs tie at count 2 -> ('a','b') must win round 1."""
+    texts = ["ab ab ba ba"]
+    got = bpe.train_bpe(_docs(spark, texts), 1)
+    assert bpe.python_bpe(texts, 1) == got
+    assert (got[0][1], got[0][2]) == ("a", "b")
+
+
+def test_merge_application_is_greedy_left_to_right(spark):
+    """'aaaa' with merge (a,a): greedy pairing gives [aa, aa], so round 2's
+    top pair is (aa, aa) — the fold must not re-consume a just-merged
+    symbol as a new left side."""
+    texts = ["aaaa aaaa aaaa"]
+    got = bpe.train_bpe(_docs(spark, texts), 2)
+    assert got == bpe.python_bpe(texts, 2)
+    assert (got[0][1], got[0][2]) == ("a", "a")
+    assert (got[1][1], got[1][2]) == ("aa", "aa")
+
+
+def test_early_stop_when_no_pairs_remain(spark):
+    texts = ["a b c"]  # single-char words: no adjacent pairs at all
+    assert bpe.train_bpe(_docs(spark, texts), 5) == []
+    assert bpe.python_bpe(texts, 5) == []
+
+
+def test_round1_matches_registry_query(spark):
+    """The oracled bpe_merge_round1 query's rank-1 row IS the trainer's
+    first merge on the same corpus (shared construction, pinned)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    q = em.queries()["bpe_merge_round1"](spark, sf).orderBy("rank").collect()
+    assert [int(r["rank"]) for r in q] == list(range(1, 21))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    first = bpe.train_bpe(docs.select("doc_id", "text"), 1)[0]
+    assert (q[0]["sym_a"], q[0]["sym_b"], q[0]["pair_count"]) == (
+        first[1],
+        first[2],
+        first[3],
+    )
+
+
+def test_training_is_deterministic(spark):
+    a = bpe.train_bpe(_docs(spark, CORPUS), 6)
+    b = bpe.train_bpe(_docs(spark, CORPUS), 6)
+    assert a == b
