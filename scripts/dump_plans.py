@@ -132,18 +132,63 @@ def main() -> None:
         "the pixel work (the r3 perf-weak fix; 5.5-56x the Python twins).",
         _plan(em.queries()["image_decode_jvm"](spark, args.sf), "simple"),
     ))
+    jac_df = em.queries()["ngram_jaccard_pairs"](spark, args.sf)
+    jac_df.collect()
     sections.append((
-        "Jaccard with in-row shingles (r4)",
-        "Shingles share the minhash in-row array construction: no Window, "
-        "no posexplode; the doc_id candidate bound is pushed to the scan "
-        "and the only explode is over the bounded candidate set.",
-        _plan(em.queries()["ngram_jaccard_pairs"](spark, args.sf), "simple"),
+        "Jaccard with in-row shingles (single-scan since r5, EXECUTED plan)",
+        "Shingles share the minhash in-row array construction (no Window, "
+        "no posexplode; candidate bound pushed to the scan) and — r5 — the "
+        "per-doc distinct shingle set is ONE array_distinct projection "
+        "whose size rides along in the exploded rows, so sizes need no "
+        "separate aggregate and the MERGE-hinted self-join ReuseExchanges: "
+        "exactly ONE FileScan of documents (was 3 in r4).",
+        _plan(jac_df, "simple").split("== Initial Plan ==")[0],
     ))
     sections.append((
-        "Paragraph dedup (r4)",
+        "Paragraph dedup (r4; keeper via partial-agg min(struct))",
         "Corpus-wide keep-first over 16-token chunks: ONE hash shuffle "
-        "moving md5 digests (32 hex per chunk), never the chunk text.",
+        "moving md5 digests (32 hex per chunk), never the chunk text; the "
+        "keeper is min(named_struct(doc_id, chunk_idx)) — a partial-"
+        "aggregated HashAggregate, NOT a row_number Window, so a hot "
+        "digest never serializes through one window partition.",
         _plan(em.queries()["paragraph_dedup"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Sequence packing (r4): bounded window partitions",
+        "Greedy fixed-budget packing: the only Window runs PARTITION BY "
+        "(lang, shard) — bounded units sized by the corpus split, never "
+        "one global ordering; bin boundaries are integer DIV over the "
+        "running sum (DuckDB-exact).",
+        _plan(em.queries()["sequence_pack"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Domain rollup (r4)",
+        "Crawl analytics per host: JVM parse_url in the projection, ONE "
+        "partial-aggregated shuffle on host (map-side combine absorbs hot "
+        "domains' rows before the exchange).",
+        _plan(em.queries()["domain_rollup"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Trained-codebook IVF (r5)",
+        "The frozen k-means codebook is a 16-row literal LocalRelation — "
+        "probes and assignment are BroadcastNestedLoopJoins against it "
+        "(tiny-side broadcast, the allow-listed codebook cross join); "
+        "exact cosine only within probed lists.",
+        _plan(em.queries()["ann_ivf_topk_trained"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Canonical-URL dedup (r5)",
+        "Normalization is per-row regex/string Projects (zero shuffle); "
+        "the keep-first is ONE partial-aggregated HashAggregate on the "
+        "canonical url — no Window, no second Exchange.",
+        _plan(em.queries()["url_canonical_dedup"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "BPE round-1 merge table (r5)",
+        "Word counts are one shuffle; pair candidates are an in-row "
+        "transform+explode over the vocabulary-sized word table; the "
+        "global rank window orders the tiny char-pair aggregate only.",
+        _plan(em.queries()["bpe_merge_round1"](spark, args.sf), "simple"),
     ))
 
     lines = [
