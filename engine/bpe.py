@@ -109,6 +109,85 @@ def train_bpe(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     return merges
 
 
+def _fold_merge(arr, a: str, b: str):
+    """The greedy left-to-right (a, b) -> a||b fold on an arbitrary
+    array<string> column (shared by apply_merge and encode_fold)."""
+    return F.aggregate(
+        arr,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def encode_fold(docs: DataFrame, merges) -> DataFrame:
+    """Tokenize the corpus with a trained merge list, fully JVM-side:
+    per word, chars -> the k merge folds applied in rank order — zero
+    shuffle, zero Python. The expression nests k folds, so this is the
+    small-k path (demo vocabularies); codegen depth grows with k, which is
+    why the Arrow twin below is the production shape for real (30k+)
+    vocabularies. Returns (doc_id, tokens array<string>)."""
+
+    def enc_word(w):
+        arr = F.regexp_extract_all(w, F.lit("."), F.lit(0))
+        for _, a, b, _ in sorted(merges):
+            arr = _fold_merge(arr, a, b)
+        return arr
+
+    toks = F.flatten(
+        F.transform(
+            F.filter(F.split("text", " "), lambda w: w != F.lit("")),
+            enc_word,
+        )
+    )
+    return docs.select("doc_id", toks.alias("tokens"))
+
+
+def encode_arrow(docs: DataFrame, merges) -> DataFrame:
+    """Arrow-batched tokenizer twin (the scale path for large merge
+    tables, where a k-deep fold expression would blow codegen): the merge
+    list ships once in the task closure; application is the same greedy
+    rank-order fold per word. Differentially pinned equal to
+    :func:`encode_fold` (tests/test_bpe.py)."""
+    ms = [(a, b) for _, a, b, _ in sorted(merges)]
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            toks_col = []
+            for text in pdf["text"]:
+                toks: list[str] = []
+                for w in str(text).split(" "):
+                    syms = re.findall(".", w)
+                    if not syms:
+                        continue
+                    for a, b in ms:
+                        out: list[str] = []
+                        for s in syms:
+                            if out and out[-1] == a and s == b:
+                                out[-1] = a + b
+                            else:
+                                out.append(s)
+                        syms = out
+                    toks.extend(syms)
+                toks_col.append(toks)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "tokens": toks_col})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, tokens array<string>"
+    )
+
+
 def python_bpe(texts: list[str], k: int) -> list[tuple[int, str, str, int]]:
     """Pure-Python reference twin (pytest oracle for the iterated rounds):
     same tokenizer rule, same tie-break, same greedy fold."""

@@ -77,6 +77,29 @@ def test_round1_matches_registry_query(spark):
     )
 
 
+def test_encode_fold_equals_arrow_twin_and_conserves_chars(spark):
+    """Tokenizing with the trained merges: the JVM fold path and the
+    Arrow-batched scale path agree exactly, tokens concatenate back to the
+    original words (tokenizer-rule newline exclusion aside), and merged
+    tokens actually appear."""
+    docs = _docs(spark, CORPUS)
+    merges = bpe.train_bpe(docs, 8)
+    fold = {r["doc_id"]: list(r["tokens"])
+            for r in bpe.encode_fold(docs, merges).collect()}
+    arrow = {r["doc_id"]: list(r["tokens"])
+             for r in bpe.encode_arrow(docs, merges).collect()}
+    assert fold == arrow
+    for i, text in enumerate(CORPUS):
+        assert "".join(fold[i]) == text.replace(" ", "")
+    merged_syms = {a + b for _, a, b, _ in merges}
+    assert merged_syms & {t for ts in fold.values() for t in ts}
+
+    # zero merges: pure character tokenization
+    chars = {r["doc_id"]: list(r["tokens"])
+             for r in bpe.encode_fold(docs, []).collect()}
+    assert chars[0] == [c for c in CORPUS[0] if c != " "]
+
+
 def test_training_is_deterministic(spark):
     a = bpe.train_bpe(_docs(spark, CORPUS), 6)
     b = bpe.train_bpe(_docs(spark, CORPUS), 6)

@@ -147,6 +147,18 @@ def test_jaccard_pairs_single_scan(spark):
     assert "ReusedExchange" in final, final
 
 
+def test_url_canonical_dedup_single_shuffle(spark):
+    """r5: canonical-URL dedup is zero-shuffle normalization (per-row
+    regex/string Projects) + exactly ONE Exchange for the keep-first
+    groupBy — and no Window (min-aggregate keeper, skew-safe)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["url_canonical_dedup"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+
+
 def test_q6_predicates_reach_the_scan(spark):
     """The scan-aggregate query's filters must appear in PushedFilters —
     the pushdown probe at fact-table scale."""
