@@ -44,12 +44,29 @@ def _force(df) -> int:
 REFERENCE_TIMINGS_PATH = os.path.join(REPO, "BENCH", "reference_timings.json")
 
 
-def load_reference_timings(path: str = REFERENCE_TIMINGS_PATH) -> dict[str, float]:
+def load_reference_timings(
+    path: str = REFERENCE_TIMINGS_PATH,
+    sf: str | None = None,
+    cpus: str | None = None,
+) -> dict[str, float]:
     """Committed good-window per-query timings (seconds). Missing file ->
-    empty dict (the spread heuristic still applies)."""
+    empty dict (the spread heuristic still applies). The reference is
+    scoped to the scale factor / core count it was measured at (review
+    r5): a run at a different SPARK_GRAFT_SF_DIR or SPARK_GRAFT_CPUS is
+    honestly slower, not throttled, so a mismatch disables the
+    cross-run comparison instead of mass-flagging every query."""
     try:
         with open(path, encoding="utf-8") as f:
-            return {k: float(v) for k, v in json.load(f)["queries"].items()}
+            payload = json.load(f)
+        if sf is not None and "sf" in payload and str(payload["sf"]) != str(sf):
+            return {}
+        if (
+            cpus is not None
+            and "cpus" in payload
+            and str(payload["cpus"]) != str(cpus)
+        ):
+            return {}
+        return {k: float(v) for k, v in payload["queries"].items()}
     except (OSError, KeyError, ValueError):
         return {}
 
@@ -209,7 +226,9 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 3)
-    throttled = throttle_flags(timings, spread, load_reference_timings())
+    throttled = throttle_flags(
+        timings, spread, load_reference_timings(sf=sf, cpus=CPUS)
+    )
     print(
         json.dumps(
             {
@@ -220,6 +239,7 @@ def main() -> None:
                 "spread": spread,
                 "throttling_suspected": throttled,
                 "sf": sf,
+                "cpus": CPUS,
                 "n": 3,
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": docs_per_sec,

@@ -151,8 +151,13 @@ def ivf_topk(
     partition pruning — plan-pinned). Probe ranking uses the metric the
     index was built with (recorded in the centroids table)."""
     cent = spark.read.parquet(f"{index_path}/centroids")
-    metric_rows = cent.selectExpr("metric").distinct().collect()
-    metric = metric_rows[0]["metric"] if metric_rows else "dot_q"
+    # indexes legitimately outlive code versions (build once, probe many):
+    # a pre-r5 centroids table has no metric column -> the dot_q default
+    if "metric" in cent.columns:
+        metric_rows = cent.selectExpr("metric").distinct().collect()
+        metric = metric_rows[0]["metric"] if metric_rows else "dot_q"
+    else:
+        metric = "dot_q"
     cent = cent.select("cid", "cq")
     q = _prep(queries)
     rank_expr = _probe_rank_expr(metric, "qv.q", "c.cq")

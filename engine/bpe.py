@@ -71,21 +71,12 @@ def pair_counts(words: DataFrame) -> DataFrame:
 def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
     """Greedy left-to-right merge of adjacent (a, b) -> a||b inside each
     symbol array — a per-row fold, zero shuffle. Column lambdas (not SQL
-    text) so arbitrary symbols need no literal escaping."""
-    merged = F.aggregate(
-        F.col("syms"),
-        F.expr("CAST(array() AS array<string>)"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (s == F.lit(b)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(a + b)),
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
+    text) so arbitrary symbols need no literal escaping. The fold itself
+    is _fold_merge, shared with the encoder so trainer and tokenizer can
+    never diverge."""
+    return words.select(
+        _fold_merge(F.col("syms"), a, b).alias("syms"), "cnt"
     )
-    return words.select(merged.alias("syms"), "cnt")
 
 
 def train_bpe(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
@@ -166,6 +157,11 @@ def encode_arrow(docs: DataFrame, merges) -> DataFrame:
         for pdf in batches:
             toks_col = []
             for text in pdf["text"]:
+                if text is None or (isinstance(text, float)):
+                    # NULL text (None, or NaN through pandas): the fold
+                    # twin's split(NULL) yields NULL tokens — match it
+                    toks_col.append(None)
+                    continue
                 toks: list[str] = []
                 for w in str(text).split(" "):
                     syms = re.findall(".", w)

@@ -41,7 +41,9 @@ public class MiniScan
   protected final StructType tableSchema;
   protected final Long snapshotId;
   private StructType readSchema;
-  private Filter[] skipFilters = new Filter[0];
+  // precomputed (column index, internal comparison value, filter) triples —
+  // boundOf runs once per filter at pushdown, not per (group, filter) pair
+  private ArrayList<Object[]> skipBounds = new ArrayList<>();
 
   MiniScan(String key, StructType tableSchema, Long snapshotId) {
     this.key = key;
@@ -65,13 +67,12 @@ public class MiniScan
   @Override
   public Filter[] pushFilters(Filter[] filters) {
     if (statsSkipAllowed()) {
-      ArrayList<Filter> usable = new ArrayList<>();
       for (Filter f : filters) {
-        if (boundOf(f) != null) {
-          usable.add(f);
+        Object[] b = boundOf(f);
+        if (b != null) {
+          skipBounds.add(b);
         }
       }
-      skipFilters = usable.toArray(new Filter[0]);
     }
     // everything stays a residual: skipping prunes GROUPS, rows inside a
     // surviving group still need the predicate evaluated by Spark
@@ -80,7 +81,11 @@ public class MiniScan
 
   @Override
   public Filter[] pushedFilters() {
-    return skipFilters;
+    Filter[] out = new Filter[skipBounds.size()];
+    for (int i = 0; i < out.length; i++) {
+      out[i] = (Filter) skipBounds.get(i)[2];
+    }
+    return out;
   }
 
   /** (column index, comparison value, op) of a supported simple filter, or
@@ -128,13 +133,14 @@ public class MiniScan
   }
 
   /** min/max refutation: can any row of a group with stats {@code st}
-   *  satisfy {@code f}? Unknown/missing/mistyped stats -> true (scan it). */
+   *  satisfy the precomputed bound {@code b}? Unknown/missing/mistyped
+   *  stats -> true (scan it). */
   @SuppressWarnings({"unchecked", "rawtypes"})
-  private boolean groupCanMatch(Object[] st, Filter f) {
-    Object[] b = boundOf(f);
+  private static boolean groupCanMatch(Object[] st, Object[] b) {
     if (st == null || b == null) {
       return true;
     }
+    Filter f = (Filter) b[2];
     int idx = (Integer) b[0];
     if (2 * idx + 1 >= st.length) {
       return true;
@@ -197,11 +203,18 @@ public class MiniScan
         types[i] = tableSchema.fields()[srcIdx[i]].dataType();
       }
     }
-    ArrayList<ArrayList<InternalRow>> groups = MiniStore.groupsAt(key, snapshotId);
-    Object[][] stats =
-        skipFilters.length > 0 && statsSkipAllowed()
-            ? MiniStore.groupColumnStats(key)
-            : null;
+    ArrayList<ArrayList<InternalRow>> groups;
+    Object[][] stats;
+    if (!skipBounds.isEmpty() && statsSkipAllowed()) {
+      // one lock for rows AND stats: separately-fetched stats could
+      // describe a newer commit and wrongly refute captured rows
+      Object[] pair = MiniStore.groupsWithStats(key);
+      groups = (ArrayList<ArrayList<InternalRow>>) pair[0];
+      stats = (Object[][]) pair[1];
+    } else {
+      groups = MiniStore.groupsAt(key, snapshotId);
+      stats = null;
+    }
     ArrayList<InputPartition> parts = new ArrayList<>();
     for (int g = 0; g < MiniStore.NUM_GROUPS; g++) {
       if (!groupRetained(g) || groups.get(g).isEmpty()) {
@@ -209,8 +222,8 @@ public class MiniScan
       }
       boolean canMatch = true;
       if (stats != null) {
-        for (Filter f : skipFilters) {
-          if (!groupCanMatch(stats[g], f)) {
+        for (Object[] b : skipBounds) {
+          if (!groupCanMatch(stats[g], b)) {
             canMatch = false; // manifest min/max refutes: skip the group
             break;
           }

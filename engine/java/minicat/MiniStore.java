@@ -223,17 +223,20 @@ public final class MiniStore {
     return st;
   }
 
-  /** Per-group manifest stats for planning-time group skipping (null entry
-   *  = no stats recorded: conservatively scan that group). */
-  static Object[][] groupColumnStats(String key) {
+  /** Atomic (group lists, manifest stats) pair for planning-time group
+   *  skipping. One lock for both (review r5): stats fetched separately
+   *  could describe a NEWER commit than the row lists being planned and
+   *  wrongly refute a group whose captured rows do match. Null stats entry
+   *  = none recorded: conservatively scan that group. */
+  static Object[] groupsWithStats(String key) {
     Entry e = require(key);
     synchronized (e) {
-      Object[][] out = new Object[NUM_GROUPS][];
+      Object[][] st = new Object[NUM_GROUPS][];
       for (int g = 0; g < NUM_GROUPS; g++) {
-        Object[] st = e.stats.get(g);
-        out[g] = st == null ? null : st.clone();
+        Object[] s = e.stats.get(g);
+        st[g] = s == null ? null : s.clone();
       }
-      return out;
+      return new Object[] {new ArrayList<>(e.groups), st};
     }
   }
 

@@ -321,21 +321,32 @@ def read_pages_warc_indexed(
                     name = str(fname)
                     # corrupt index entries must be error rows, never task
                     # failures (ADVICE r4): a 'file' field that escapes the
-                    # archive dir (../ traversal) or names a missing archive
+                    # archive dir (../ traversal), names a missing archive,
+                    # or carries an unusable offset/length (JSON nulls reach
+                    # pandas as NaN; negative lengths would re-read the
+                    # archive tail and silently duplicate records)
                     full = os.path.normpath(os.path.join(base, name))
                     if os.path.commonpath([base, full]) != base or full == base:
                         emit(name, "error:index path escapes archive dir")
                         continue
                     try:
+                        off_i, ln_i = int(off), int(ln)
+                    except (TypeError, ValueError):
+                        emit(f"{name}@{off}", "error:bad index offset/length")
+                        continue
+                    if off_i < 0 or ln_i < 0:
+                        emit(f"{name}@{off_i}", "error:bad index offset/length")
+                        continue
+                    try:
                         f = handles.get(name)
                         if f is None:
                             f = handles[name] = open(full, "rb")
-                        f.seek(int(off))
-                        blob = f.read(int(ln))
+                        f.seek(off_i)
+                        blob = f.read(ln_i)
                     except OSError:
-                        emit(f"{name}@{off}", "error:missing archive")
+                        emit(f"{name}@{off_i}", "error:missing archive")
                         continue
-                    for tup in _parse_warc_stream(blob, f"{name}@{off}"):
+                    for tup in _parse_warc_stream(blob, f"{name}@{off_i}"):
                         for k, v in zip(rows, tup):
                             rows[k].append(v)
             finally:

@@ -107,6 +107,25 @@ def _stat_cast(df: DataFrame, col: str):
     return F.col(col).cast("double") if dict(df.dtypes)[col] == "timestamp" else F.col(col)
 
 
+def _collect_bucket_stats(spark: SparkSession, base: str, dirs) -> dict:
+    """{bucket id (str) -> {col -> [min, max]}} over the given bucket dirs
+    (partition-discovered against ``base``)."""
+    if not dirs:
+        return {}
+    df = spark.read.option("basePath", base).parquet(*dirs)
+    cols = [c for c in STATS_COLS if c in df.columns]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        e = _stat_cast(df, c)
+        aggs += [F.min(e).alias(f"mn_{c}"), F.max(e).alias(f"mx_{c}")]
+    return {
+        str(r["bucket"]): {c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in cols}
+        for r in df.groupBy("bucket").agg(*aggs).collect()
+    }
+
+
 def _refresh_stats(spark: SparkSession, path: str, buckets=None) -> None:
     """Recompute per-bucket min/max for the STATS_COLS present in the table
     schema and merge them into ``_layout.json`` — the Iceberg manifest
@@ -124,24 +143,65 @@ def _refresh_stats(spark: SparkSession, path: str, buckets=None) -> None:
         if d.startswith("bucket=")
         and (buckets is None or int(d.split("=", 1)[1]) in set(buckets))
     ]
-    if not dirs:
+    fresh = _collect_bucket_stats(spark, path, dirs)
+    if not fresh:
         return
-    df = spark.read.option("basePath", path).parquet(*dirs)
-    cols = [c for c in STATS_COLS if c in df.columns]
-    if not cols:
-        return
-    aggs = []
-    for c in cols:
-        e = _stat_cast(df, c)
-        aggs += [F.min(e).alias(f"mn_{c}"), F.max(e).alias(f"mx_{c}")]
-    rows = df.groupBy("bucket").agg(*aggs).collect()
     stats = layout.setdefault("stats", {})
-    for r in rows:
-        stats[str(r["bucket"])] = {
-            c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in cols
-        }
+    stats.update(fresh)
     with open(layout_file, "w", encoding="utf-8") as f:
         json.dump(layout, f)
+
+
+def _widen_stats_for_swap(
+    spark: SparkSession, path: str, tmp: str, buckets
+) -> None:
+    """Pre-swap stats widening (review r5): the bucket-dir renames and the
+    post-swap exact refresh are not atomic, and stale-but-NARROW stats
+    would make read_range silently skip buckets holding just-merged rows
+    if a crash lands between them. Before any rename, each dirty bucket's
+    recorded range is widened to the UNION of its current range and the
+    incoming tmp data's range — correct for both the pre- and post-swap
+    table at every crash point (min/max pruning only needs a superset).
+    The successful path then tightens back to exact via _refresh_stats.
+    Buckets with no recorded entry stay unrecorded (already conservative);
+    a column whose incoming range is unknown is dropped from the entry."""
+    layout_file = os.path.join(path, "_layout.json")
+    if not os.path.exists(layout_file):
+        return
+    with open(layout_file, encoding="utf-8") as f:
+        layout = json.load(f)
+    stats = layout.get("stats")
+    if not stats:
+        return
+    tmp_dirs = [
+        os.path.join(tmp, f"bucket={b}")
+        for b in buckets
+        if os.path.exists(os.path.join(tmp, f"bucket={b}"))
+    ]
+    incoming = _collect_bucket_stats(spark, tmp, tmp_dirs)
+    changed = False
+    for b in buckets:
+        old = stats.get(str(b))
+        if old is None:
+            continue
+        new = incoming.get(str(b), {})
+        for col in list(old):
+            lo_hi, inc = old[col], new.get(col)
+            if (
+                inc is None
+                or inc[0] is None
+                or inc[1] is None
+                or lo_hi[0] is None
+                or lo_hi[1] is None
+            ):
+                del old[col]  # unknown range on either side: no pruning
+                changed = True
+            else:
+                old[col] = [min(lo_hi[0], inc[0]), max(lo_hi[1], inc[1])]
+                changed = True
+    if changed:
+        with open(layout_file, "w", encoding="utf-8") as f:
+            json.dump(layout, f)
 
 
 def read_range(
@@ -361,6 +421,9 @@ def merge_by_url(
         merged = upd
     tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    # widen BEFORE the swap so a crash at any point leaves conservative
+    # (superset) ranges; tightened to exact after the swap succeeds
+    _widen_stats_for_swap(spark, target_path, tmp, dirty)
     for b in dirty:
         src = f"{tmp}/bucket={b}"
         dst = f"{target_path}/bucket={b}"

@@ -39,6 +39,8 @@ def main() -> None:
             "query's honest cost."
         ),
         "source": os.path.relpath(src, REPO),
+        "sf": artifact.get("sf"),
+        "cpus": artifact.get("cpus", "32"),
         "queries": artifact["queries"],
     }
     with open(OUT, "w", encoding="utf-8") as f:

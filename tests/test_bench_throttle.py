@@ -46,3 +46,19 @@ def test_both_signals_union_and_sort():
 
 def test_missing_reference_file_degrades_gracefully(tmp_path):
     assert bench.load_reference_timings(str(tmp_path / "nope.json")) == {}
+
+
+def test_reference_is_scoped_to_its_sf_and_cpus(tmp_path):
+    """Review r5: a run at a different scale factor or core count is
+    honestly slower, not throttled — the cross-run comparison must
+    disable itself instead of mass-flagging the whole suite."""
+    import json
+
+    p = str(tmp_path / "ref.json")
+    json.dump({"sf": "0.1", "cpus": "32", "queries": {"q": 1.0}}, open(p, "w"))
+    assert bench.load_reference_timings(p, sf="0.1", cpus="32") == {"q": 1.0}
+    assert bench.load_reference_timings(p, sf="1", cpus="32") == {}
+    assert bench.load_reference_timings(p, sf="0.1", cpus="8") == {}
+    # committed reference carries its scope
+    ref = json.load(open(bench.REFERENCE_TIMINGS_PATH))
+    assert ref.get("sf") and ref.get("cpus")

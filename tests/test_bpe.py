@@ -99,6 +99,16 @@ def test_encode_fold_equals_arrow_twin_and_conserves_chars(spark):
              for r in bpe.encode_fold(docs, []).collect()}
     assert chars[0] == [c for c in CORPUS[0] if c != " "]
 
+    # NULL text: both twins yield NULL tokens (review r5 — the Arrow twin
+    # previously tokenized the literal string 'None')
+    nulls = spark.createDataFrame(
+        [(0, None), (1, "ab ab")], "doc_id long, text string"
+    )
+    f0 = {r["doc_id"]: r["tokens"] for r in bpe.encode_fold(nulls, merges).collect()}
+    a0 = {r["doc_id"]: r["tokens"] for r in bpe.encode_arrow(nulls, merges).collect()}
+    assert f0[0] is None and a0[0] is None
+    assert list(f0[1]) == list(a0[1])
+
 
 def test_training_is_deterministic(spark):
     a = bpe.train_bpe(_docs(spark, CORPUS), 6)

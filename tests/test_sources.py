@@ -310,6 +310,8 @@ def test_warc_indexed_missing_archive_and_traversal_are_error_rows(
     idx = [json.loads(ln) for ln in open(f"{wd}/index.cdxj")]
     idx[1]["file"] = "gone-00042.warc.gz"
     idx[2]["file"] = "../secret.warc.gz"
+    idx[3]["offset"] = None  # JSON null -> pandas NaN: must not crash int()
+    idx[4]["length"] = -1  # negative read would duplicate the archive tail
     with open(f"{wd}/index.cdxj", "w") as f:
         for rec in idx:
             f.write(json.dumps(rec) + "\n")
@@ -321,8 +323,12 @@ def test_warc_indexed_missing_archive_and_traversal_are_error_rows(
         if r["status"] != "ok":
             by_status.setdefault(r["status"], []).append(r["url"])
     assert sorted(by_status) == [
+        "error:bad index offset/length",
         "error:index path escapes archive dir",
         "error:missing archive",
     ], by_status
+    assert len(by_status["error:bad index offset/length"]) == 2
     assert by_status["error:index path escapes archive dir"][0].startswith("..")
-    assert ok == {u for u, *_ in rows} - {idx[1]["url"], idx[2]["url"]}
+    bad = {idx[i]["url"] for i in (1, 2, 3, 4)}
+    assert ok == {u for u, *_ in rows} - bad
+    assert len(got) == len(rows)  # no duplicated tail records

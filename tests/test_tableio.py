@@ -313,6 +313,69 @@ def test_range_read_skips_buckets_via_minmax_stats(spark, tmp_path):
     ) == sorted((u, d) for u, d, _, _ in rows if 300 <= d <= 350)
 
 
+def test_stats_widened_before_swap_survive_merge_crash(spark, tmp_path):
+    """Review r5: the bucket swap and the exact stats refresh are not
+    atomic. The merge widens recorded ranges to old ∪ incoming BEFORE any
+    rename, so at EVERY crash point (pre-swap with old data, post-swap
+    without the tightening refresh) read_range still finds every row —
+    stale-but-narrow stats silently dropping just-merged rows was the
+    failure mode."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from engine import tableio
+
+    path = str(tmp_path / "tbl")
+    urls = [f"u{i}" for i in range(32)]
+    buckets = {
+        r["url"]: r["b"]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("b"))
+        .collect()
+    }
+    rows = [(u, 100 * buckets[u] + i, f"t{i}") for i, u in enumerate(urls)]
+    df = spark.createDataFrame(rows, "url string, doc_id long, extracted_text string")
+    tableio.merge_by_url(spark, path, df, n_buckets=4)
+
+    # emulate the merge up to (but not including) the swap: tmp holds the
+    # dirty bucket's rebuilt content with an out-of-range doc_id
+    victim = rows[0]
+    vb = buckets[victim[0]]
+    upd = spark.createDataFrame(
+        [(victim[0], 77_777, "moved", vb)],
+        "url string, doc_id long, extracted_text string, bucket int",
+    )
+    kept = (
+        spark.read.parquet(f"{path}/bucket={vb}")
+        .withColumn("bucket", F.lit(vb))
+        .where(F.col("url") != victim[0])
+    )
+    tmp = str(tmp_path / "tbl.tmp-crash")
+    kept.unionByName(upd).write.partitionBy("bucket").parquet(tmp)
+    tableio._widen_stats_for_swap(spark, path, tmp, [vb])
+
+    # crash point A: widened stats, swap not yet performed — old table must
+    # still answer range reads exactly
+    got_old = tableio.read_range(spark, path, "doc_id", victim[1], victim[1])
+    assert [r["url"] for r in got_old.collect()] == [victim[0]]
+
+    # crash point B: swap done, exact refresh never ran
+    shutil.rmtree(f"{path}/bucket={vb}")
+    os.rename(f"{tmp}/bucket={vb}", f"{path}/bucket={vb}")
+    spark.catalog.refreshByPath(path)
+    hit = tableio.read_range(spark, path, "doc_id", 77_000, 78_000)
+    assert [r["url"] for r in hit.collect()] == [victim[0]]
+
+    # the widened entry is a superset range (or dropped) — never narrow
+    with open(f"{path}/_layout.json", encoding="utf-8") as f:
+        st = json.load(f)["stats"].get(str(vb), {})
+    if "doc_id" in st:
+        assert st["doc_id"][0] <= victim[1] and st["doc_id"][1] >= 77_777
+
+
 def test_compact_crash_states_read_consistently_and_self_heal(spark, tmp_path):
     """ADVICE r4: compaction is write-then-swap — simulate every crash
     state and assert (a) the table reads its exact pre-compact contents in
