@@ -292,6 +292,55 @@ def test_warc_indexed_corrupt_index_entries_are_error_rows(spark, pages_unit_pat
     assert ok == {u for u, *_ in rows} - {idx[1]["url"], idx[2]["url"]}
 
 
+def test_warc_resync_mutation_fuzz():
+    """Bounded fuzz of the r5 resync path (no Spark — _parse_warc_stream
+    directly): random byte mutations / truncations / injections into a
+    10-member archive must never raise, never duplicate a record, and
+    every record reported 'ok' with an original url must be byte-identical
+    to what was written (corruption may lose records, never corrupt one
+    into a different payload for the same url silently — the urls
+    themselves live in the mutated bytes, so a mutated url is a new key)."""
+    import gzip
+    import random
+
+    from datetime import datetime
+
+    recs = {
+        f"https://f{i}.example/p": (b"<p>%d</p>" % i) * (i + 1)
+        for i in range(10)
+    }
+    blob = b"".join(
+        gzip.compress(
+            sources.encode_warc_record(u, datetime(2026, 1, 1), h, "en")
+        )
+        for u, h in recs.items()
+    )
+    rng = random.Random(42)
+    for trial in range(300):
+        mut = bytearray(blob)
+        op = trial % 3
+        if op == 0:  # flip a run of bytes
+            at = rng.randrange(len(mut))
+            for j in range(at, min(len(mut), at + rng.randrange(1, 16))):
+                mut[j] = rng.randrange(256)
+        elif op == 1:  # truncate
+            mut = mut[: rng.randrange(1, len(mut))]
+        else:  # inject noise (incl. fake gzip magics)
+            at = rng.randrange(len(mut))
+            noise = bytes(
+                rng.choice(b"\x1f\x8b\x08\x00\xffCORRUPT")
+                for _ in range(rng.randrange(1, 64))
+            )
+            mut = mut[:at] + noise + mut[at:]
+        out = list(sources._parse_warc_stream(bytes(mut), "fuzz"))  # no raise
+        ok = [(u, h) for u, ts, h, lg, st in out if st == "ok"]
+        urls = [u for u, _ in ok]
+        assert len(urls) == len(set(urls)), f"trial {trial}: duplicated record"
+        for u, h in ok:
+            if u in recs:
+                assert bytes(h) == recs[u], f"trial {trial}: payload corrupted"
+
+
 def test_warc_indexed_missing_archive_and_traversal_are_error_rows(
     spark, pages_unit_path, tmp_path
 ):
