@@ -89,6 +89,26 @@ def test_trained_index_equals_registry_query(spark, tmp_path):
     assert got == want and len(got) == 30
 
 
+def test_trained_index_probe_is_partition_pruned(spark, tmp_path):
+    """The trained index keeps the scale property of the sampled one:
+    probes join the lists table on its partition column -> dynamic
+    partition pruning reads only probed lists' files."""
+    from engine import ann_codebook
+
+    cb = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ann_codebook.TRAINED_CENTROIDS)],
+        "cid int, centroid array<double>",
+    )
+    p = str(tmp_path / "ivf_trained")
+    ann.build_ivf_index(spark, SF, p, codebook=cb)
+    queries = (
+        spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 10")
+    )
+    df = ann.ivf_topk(spark, p, queries, nprobe=4, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_trained_recall_not_below_sampled(spark):
     """The trained codebook must earn its keep: recall@3 vs the exact
     brute-force top-k on the sf0.01 corpus is >= the sampled codebook's
