@@ -2279,6 +2279,61 @@ SELECT * FROM (
 WHERE rank <= 20
 """
 
+# Bigram-LM quality scoring (r5): the CCNet-style perplexity filter — a
+# bigram language model with add-1 smoothing is "trained" (counted) on a
+# deterministic reference slice (doc_id % 7 = 0, the wiki-like corpus
+# stand-in) and EVERY document is scored by its average per-bigram negative
+# log-likelihood (lower = more reference-like; gibberish and boilerplate
+# float to the top). Spark shape: counting is one bigram groupBy over the
+# reference slice; scoring joins each doc's in-row bigrams against the
+# count tables — vocabulary-sized, so Catalyst broadcasts them and the
+# corpus never shuffles. ln/avg are double math rounded to 4 (the same
+# cross-engine tolerance as idf_r/stats_aggregates, hash-green since r3).
+def _lm_bigram_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok = (
+            "SELECT doc_id, filter(split(text, ' '), w -> w != '') AS ws "
+            "FROM documents"
+        )
+        bi = (
+            "SELECT doc_id, b.w1, b.w2 FROM tok "
+            "LATERAL VIEW explode(transform(slice(ws, 1, size(ws) - 1), "
+            "(w, i) -> struct(w AS w1, ws[i + 1] AS w2))) t AS b "
+            "WHERE size(ws) >= 2"
+        )
+        uni = "SELECT explode(ws) AS w FROM tok WHERE doc_id % 7 = 0"
+    else:
+        tok = (
+            "SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws "
+            "FROM documents"
+        )
+        bi = (
+            "SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 "
+            "FROM tok, unnest(range(1, len(ws))) AS t(i)"
+        )
+        uni = "SELECT unnest(ws) AS w FROM tok WHERE doc_id % 7 = 0"
+    return f"""
+WITH tok AS ({tok}),
+bi AS ({bi}),
+refbi AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE doc_id % 7 = 0
+          GROUP BY w1, w2),
+refuni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM refbi GROUP BY w1),
+vocab AS (SELECT count(DISTINCT w) AS v FROM ({uni}) q),
+scored AS (
+  SELECT d.doc_id,
+         -ln((coalesce(r.c2, 0) + 1) * 1.0
+             / (coalesce(u.c1, 0) + (SELECT v FROM vocab))) AS nll
+  FROM bi d LEFT JOIN refbi r ON d.w1 = r.w1 AND d.w2 = r.w2
+            LEFT JOIN refuni u ON d.w1 = u.w1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(avg(nll), 4) AS DOUBLE) AS nll_r
+FROM scored GROUP BY doc_id
+"""
+
+
+_SQL_LM_BIGRAM_SPARK = _lm_bigram_sql("spark")
+_SQL_LM_BIGRAM_DUCK = _lm_bigram_sql("duck")
+
 # Benchmark decontamination (new in r3): flag training documents sharing any
 # 8-gram with a benchmark set — the public eval-contamination gate (cf.
 # GPT-3/Gopher decontamination methodology). The "benchmark" is a
@@ -2402,11 +2457,13 @@ FROM documents
 # oracle runs the SAME regex pipeline on the same synthesized strings
 # (RE2-safe: no backrefs).
 _URL_MESSY_CASES = (
-    # (spark_expr, duck_expr) per variant — same value by construction
-    "'https://' || {h} || {p}",
-    "'HTTPS://' || upper({h}) || ':443' || {p}",
-    "'https://' || {h} || {p} || '/?utm_source=feed&utm_medium=a'",
-    "'https://' || {h} || {p} || '?ref=' || lang || '&utm_campaign=c'",
+    # same SQL text in both dialects — every variant canonicalizes to
+    # https://{h}{p}?a=1&b=2 (case, default port, trailing slash, utm_*/ref
+    # dropping, and param REORDERING all collapse)
+    "'https://' || {h} || {p} || '?a=1&b=2'",
+    "'HTTPS://' || upper({h}) || ':443' || {p} || '?b=2&a=1'",
+    "'https://' || {h} || {p} || '/?a=1&utm_source=feed&b=2'",
+    "'https://' || {h} || {p} || '?ref=' || lang || '&b=2&utm_campaign=c&a=1'",
 )
 
 
@@ -2415,9 +2472,11 @@ def _url_canon_sql(dialect: str) -> str:
         host = "('site' || CAST(doc_id % 120 % 10 AS STRING) || '.example')"
         path = "('/p/' || CAST(doc_id % 120 AS STRING) || '/page')"
         variant = "CAST((doc_id DIV 120) % 4 AS INT)"
+        # surviving params SORTED: ?a=1&b=2 == ?b=2&a=1 (code-point order,
+        # identical in both engines)
         kept = (
-            "array_join(filter(split(qs, '&'), "
-            "p -> p != '' AND NOT p rlike '^(utm_[^=]*|ref)='), '&')"
+            "array_join(array_sort(filter(split(qs, '&'), "
+            "p -> p != '' AND NOT p rlike '^(utm_[^=]*|ref)=')), '&')"
         )
     else:
         host = "('site' || (doc_id % 120 % 10)::VARCHAR || '.example')"
@@ -2426,8 +2485,8 @@ def _url_canon_sql(dialect: str) -> str:
         # coalesce: DuckDB's array_to_string over an EMPTY list yields NULL
         # (Spark's array_join yields ''), which would null the whole concat
         kept = (
-            "coalesce(array_to_string(list_filter(string_split(qs, '&'), "
-            "p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref)=')), '&'), '')"
+            "coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'), "
+            "p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref)='))), '&'), '')"
         )
     cases = "\n    ".join(
         f"WHEN {i} THEN {c.format(h=host, p=path)}"
@@ -2934,6 +2993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _sql_query(_SQL_DOC_CHUNKS_SPARK, "documents"),
         "vocab_df": _sql_query(_SQL_VOCAB_DF_SPARK, "documents"),
         "bpe_merge_round1": _sql_query(_SQL_BPE_R1_SPARK, "documents"),
+        "lm_bigram_nll": _sql_query(_SQL_LM_BIGRAM_SPARK, "documents"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
         "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
         "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
@@ -3035,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS_DUCK,
         "vocab_df": _SQL_VOCAB_DF_DUCK,
         "bpe_merge_round1": _SQL_BPE_R1_DUCK,
+        "lm_bigram_nll": _SQL_LM_BIGRAM_DUCK,
         "decontaminate": _SQL_DECON_DUCK,
         "paragraph_dedup": _SQL_PARA_DEDUP_DUCK,
         "url_features": _SQL_URL_FEATURES_DUCK,

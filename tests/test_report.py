@@ -90,3 +90,30 @@ def test_ann_lsh_scheme_recall_on_planted_near_dups():
                 hit += 1
                 break
     assert hit / len(base) >= 0.9
+
+
+def test_lm_bigram_nll_separates_gibberish_from_reference_like(spark, tmp_path):
+    """r5 CCNet-style LM quality filter: a document echoing the reference
+    slice's phrasing scores a LOWER average bigram NLL than a gibberish
+    document of unseen words (the signal the perplexity filter keys on)."""
+    import __spark_entry__ as em
+
+    ref_sentence = "the quick brown fox jumps over the lazy dog by the river"
+    rows = []
+    for i in range(0, 35, 7):  # doc_id % 7 == 0: the reference slice
+        rows.append((i, ref_sentence))
+    rows.append((1, ref_sentence))  # echoes the reference phrasing
+    rows.append((2, "zxqv wkjh plmt qrsd vbnx uytr eeww oopa zzac mmnb"))
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r["nll_r"]
+        for r in em.queries()["lm_bigram_nll"](spark, sf).collect()
+    }
+    assert got[1] < got[2], got
+    # the echo doc's bigrams are all seen: its NLL matches the reference
+    # docs' own score exactly (same bigrams, same counts)
+    assert got[1] == got[0]
