@@ -59,9 +59,10 @@ public class MiniScan
 
   /** Row-level scans must NOT stats-skip: the commit replaces exactly the
    *  retained groups with the scan's output, so a skipped group's rows
-   *  would be lost. Plain reads only (the manifest-pruning analog). */
+   *  would be lost. Plain reads only (the manifest-pruning analog);
+   *  VERSION AS OF reads skip with the SNAPSHOT's own stats (r5). */
   protected boolean statsSkipAllowed() {
-    return snapshotId == null; // current stats describe the CURRENT groups
+    return true;
   }
 
   @Override
@@ -208,7 +209,7 @@ public class MiniScan
     if (!skipBounds.isEmpty() && statsSkipAllowed()) {
       // one lock for rows AND stats: separately-fetched stats could
       // describe a newer commit and wrongly refute captured rows
-      Object[] pair = MiniStore.groupsWithStats(key);
+      Object[] pair = MiniStore.groupsWithStats(key, snapshotId);
       groups = (ArrayList<ArrayList<InternalRow>>) pair[0];
       stats = (Object[][]) pair[1];
     } else {

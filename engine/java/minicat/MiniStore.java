@@ -43,6 +43,9 @@ public final class MiniStore {
     final long[] version = new long[NUM_GROUPS];
     long commitSeq = 0;
     final TreeMap<Long, ArrayList<ArrayList<InternalRow>>> snapshots = new TreeMap<>();
+    // per-snapshot manifest stats (r5): VERSION AS OF reads skip with the
+    // stats that described THAT snapshot's groups, never the current ones
+    final TreeMap<Long, Object[][]> snapshotStats = new TreeMap<>();
 
     Entry(StructType schema) {
       this.schema = schema;
@@ -51,6 +54,7 @@ public final class MiniStore {
         stats.add(null);
       }
       snapshots.put(0L, new ArrayList<>(groups));
+      snapshotStats.put(0L, new Object[NUM_GROUPS][]);
     }
   }
 
@@ -169,6 +173,7 @@ public final class MiniStore {
           n++;
         }
       }
+      e.snapshotStats.headMap(cutoff).clear();
       return n;
     }
   }
@@ -176,6 +181,16 @@ public final class MiniStore {
   private static void commitSnapshot(Entry e) {
     e.commitSeq++;
     e.snapshots.put(e.commitSeq, new ArrayList<>(e.groups));
+    e.snapshotStats.put(e.commitSeq, statsSnapshot(e));
+  }
+
+  private static Object[][] statsSnapshot(Entry e) {
+    Object[][] st = new Object[NUM_GROUPS][];
+    for (int g = 0; g < NUM_GROUPS; g++) {
+      Object[] s = e.stats.get(g);
+      st[g] = s == null ? null : s.clone();
+    }
+    return st;
   }
 
   /** Comparable internal value of column {@code i}, or null (null cell,
@@ -224,19 +239,26 @@ public final class MiniStore {
   }
 
   /** Atomic (group lists, manifest stats) pair for planning-time group
-   *  skipping. One lock for both (review r5): stats fetched separately
-   *  could describe a NEWER commit than the row lists being planned and
-   *  wrongly refute a group whose captured rows do match. Null stats entry
-   *  = none recorded: conservatively scan that group. */
-  static Object[] groupsWithStats(String key) {
+   *  skipping — current state, or a pinned snapshot with the stats that
+   *  described THAT snapshot (r5). One lock for both (review r5): stats
+   *  fetched separately could describe a NEWER commit than the row lists
+   *  being planned and wrongly refute a group whose captured rows do
+   *  match. Null stats entry = none recorded: conservatively scan. */
+  static Object[] groupsWithStats(String key, Long snapshotId) {
     Entry e = require(key);
     synchronized (e) {
-      Object[][] st = new Object[NUM_GROUPS][];
-      for (int g = 0; g < NUM_GROUPS; g++) {
-        Object[] s = e.stats.get(g);
-        st[g] = s == null ? null : s.clone();
+      if (snapshotId == null) {
+        return new Object[] {new ArrayList<>(e.groups), statsSnapshot(e)};
       }
-      return new Object[] {new ArrayList<>(e.groups), st};
+      ArrayList<ArrayList<InternalRow>> snap = e.snapshots.get(snapshotId);
+      Object[][] st = e.snapshotStats.get(snapshotId);
+      if (snap == null) {
+        throw new IllegalArgumentException(
+            "no snapshot " + snapshotId + " for " + key
+                + " (retained: " + e.snapshots.keySet() + ")");
+      }
+      // pre-stats snapshots (or expired stats): conservatively scan all
+      return new Object[] {snap, st == null ? new Object[NUM_GROUPS][] : st};
     }
   }
 

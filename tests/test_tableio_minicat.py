@@ -306,12 +306,13 @@ def test_group_stats_skip_refuted_groups(spark, mini_table):
     hot = spark.table(mini_table).filter("ver >= 100")
     assert hot.count() == 2 and 0 < hot.rdd.getNumPartitions() <= 2
 
-    # VERSION AS OF reads never stats-skip (current stats describe current
-    # groups, not the snapshot): pre-merge snapshot still sees old u7
+    # VERSION AS OF reads skip with the SNAPSHOT's stats (r5), never the
+    # current ones: ver>=100 exists NOW but not in snapshot 1, so the
+    # snapshot's manifest refutes every group — zero partitions planned
     snap = spark.sql(
         f"SELECT * FROM {mini_table} VERSION AS OF 1 WHERE ver >= 100"
     )
-    assert snap.count() == 0
+    assert snap.rdd.getNumPartitions() == 0 and snap.count() == 0
     old = spark.sql(
         f"SELECT * FROM {mini_table} VERSION AS OF 1 WHERE url = 'u7'"
     )
