@@ -117,3 +117,36 @@ def test_lm_bigram_nll_separates_gibberish_from_reference_like(spark, tmp_path):
     # the echo doc's bigrams are all seen: its NLL matches the reference
     # docs' own score exactly (same bigrams, same counts)
     assert got[1] == got[0]
+
+
+def test_lm_trained_model_equals_registry_query(spark, tmp_path):
+    """The persisted train-once/score-many path (engine/lm) reproduces the
+    oracled lm_bigram_nll query row-for-row on the same corpus, and the
+    scoring scan reads documents exactly once with broadcast count tables
+    (the 100 TB shape; the query form re-scans for its in-statement model
+    so DuckDB can mirror it)."""
+    import __spark_entry__ as em
+
+    from engine import lm
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    model = str(tmp_path / "lm_model")
+    lm.train_bigram_lm(docs, model)
+    scored = lm.score_docs(spark, docs, model)
+    got = sorted(tuple(r) for r in scored.collect())
+    want = sorted(
+        tuple(r) for r in em.queries()["lm_bigram_nll"](spark, sf).collect()
+    )
+    assert got == want and len(got) == 500
+
+    # the INITIAL plan holds the whole tree exactly once (AQE's executed
+    # string duplicates subtrees into query-stage sections): one corpus
+    # scan, both count-table joins broadcast
+    fresh = lm.score_docs(spark, docs, model)
+    jvm = spark._jvm
+    plan = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        fresh._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
