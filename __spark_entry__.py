@@ -1385,6 +1385,70 @@ WHERE rank <= 3
 _ANN_IVF_TRAINED_SPARK = _ann_ivf_trained_sql("spark")
 _ANN_IVF_TRAINED_DUCK = _ann_ivf_trained_sql("duck")
 
+
+# Corpus clustering by the frozen codebook (r5): every embedding assigned
+# to its nearest trained centroid — the domain-bucketing step a
+# pretraining pipeline runs before mixture weighting. Pure in-row exact
+# quantized-L2 argmin against the 16 broadcast literals: ZERO shuffle for
+# the assignment; the emitted rollup is one partial-agg groupBy. Ties ->
+# lowest cid (same rule as training/probing).
+def _emb_cluster_sql(dialect: str) -> str:
+    if dialect == "spark":
+        e_cte = (
+            "SELECT vec_id, "
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q "
+            "FROM embeddings"
+        )
+        cents = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in cq) + ")"
+                for cq in _TRAINED_CQ
+            )
+            + ")"
+        )
+        l2 = (
+            "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+        dists = f"transform({cents}, c -> {l2})"
+        # array_position: first (lowest-cid) occurrence of the minimum —
+        # the training/probing tie-break, 1-based in both engines
+        body = (
+            f"SELECT vec_id, CAST(array_position(d, array_min(d)) - 1 AS BIGINT)"
+            f" AS cluster_id, CAST(array_min(d) AS BIGINT) AS d2_q "
+            f"FROM (SELECT vec_id, {dists} AS d FROM e) t"
+        )
+    else:
+        e_cte = (
+            "SELECT vec_id, "
+            "list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS q "
+            "FROM embeddings"
+        )
+        cents = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(str(x) for x in cq) + "]::DOUBLE[]"
+                for cq in _TRAINED_CQ
+            )
+            + "]"
+        )
+        l2 = (
+            "(list_dot_product(q, q) - 2 * list_dot_product(q, c)"
+            " + list_dot_product(c, c))"
+        )
+        dists = f"list_transform({cents}, c -> {l2})"
+        body = (
+            f"SELECT vec_id, CAST(list_position(d, list_min(d)) - 1 AS BIGINT)"
+            f" AS cluster_id, CAST(list_min(d) AS BIGINT) AS d2_q "
+            f"FROM (SELECT vec_id, {dists} AS d FROM e) t"
+        )
+    return f"WITH e AS ({e_cte})\n{body}"
+
+
+_EMB_CLUSTER_SPARK = _emb_cluster_sql("spark")
+_EMB_CLUSTER_DUCK = _emb_cluster_sql("duck")
+
 # Text analysis: heuristic language-ID, quality score, token counts, fingerprint
 _SQL_LANG_ID_SPARK = r"""
 SELECT doc_id,
@@ -2981,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_candidates": _sql_query(_ANN_LSH_SPARK, "embeddings"),
         "ann_ivf_topk": _sql_query(_ANN_IVF_SPARK, "embeddings"),
         "ann_ivf_topk_trained": _sql_query(_ANN_IVF_TRAINED_SPARK, "embeddings"),
+        "embedding_cluster_assign": _sql_query(_EMB_CLUSTER_SPARK, "embeddings"),
         "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
         "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
@@ -3083,6 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_candidates": _ANN_LSH_DUCK,
         "ann_ivf_topk": _ANN_IVF_DUCK,
         "ann_ivf_topk_trained": _ANN_IVF_TRAINED_DUCK,
+        "embedding_cluster_assign": _EMB_CLUSTER_DUCK,
         "lang_id": _SQL_LANG_ID_DUCK,
         "quality_score": _SQL_QUALITY_DUCK,
         "token_count": _SQL_TOKENS_DUCK,

@@ -147,6 +147,18 @@ def test_jaccard_pairs_single_scan(spark):
     assert "ReusedExchange" in final, final
 
 
+def test_embedding_cluster_assign_zero_exchange(spark):
+    """r5 domain bucketing: assignment to the frozen codebook is an
+    in-row argmin over 16 broadcast literals — scan -> Project, ZERO
+    Exchange, no Window (nothing moves to cluster a 100 TB corpus)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["embedding_cluster_assign"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "Exchange" not in plan and "Window" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
 def test_url_canonical_dedup_single_shuffle(spark):
     """r5: canonical-URL dedup is zero-shuffle normalization (per-row
     regex/string Projects) + exactly ONE Exchange for the keep-first
