@@ -1392,7 +1392,7 @@ _ANN_IVF_TRAINED_DUCK = _ann_ivf_trained_sql("duck")
 # quantized-L2 argmin against the 16 broadcast literals: ZERO shuffle for
 # the assignment; the emitted rollup is one partial-agg groupBy. Ties ->
 # lowest cid (same rule as training/probing).
-def _emb_cluster_sql(dialect: str) -> str:
+def _emb_cluster_body(dialect: str) -> str:
     if dialect == "spark":
         e_cte = (
             "SELECT vec_id, "
@@ -1443,11 +1443,47 @@ def _emb_cluster_sql(dialect: str) -> str:
             f" AS cluster_id, CAST(list_min(d) AS BIGINT) AS d2_q "
             f"FROM (SELECT vec_id, {dists} AS d FROM e) t"
         )
-    return f"WITH e AS ({e_cte})\n{body}"
+    # a self-contained SELECT (the e-subquery inlined) so callers can embed
+    # it as a CTE body — used by the assignment query AND mixture sampling
+    return body.replace("FROM e)", f"FROM ({e_cte}) e)")
 
 
-_EMB_CLUSTER_SPARK = _emb_cluster_sql("spark")
-_EMB_CLUSTER_DUCK = _emb_cluster_sql("duck")
+_EMB_CLUSTER_SPARK = _emb_cluster_body("spark")
+_EMB_CLUSTER_DUCK = _emb_cluster_body("duck")
+
+
+# Temperature-smoothed mixture sampling over the clusters (r5): the domain
+# REWEIGHTING step (multilingual/multi-source pipelines sample cluster c
+# with probability ∝ n_c^alpha, alpha<1, to keep small domains from being
+# drowned — here rate_c = (n_min/n_c)^0.3, so the smallest cluster keeps
+# everything and large clusters are thinned toward uniform). The keep
+# decision is deterministic: a 32-bit md5 uniform per vec_id compared
+# against floor(rate*2^32) — integer comparison, stable across engines
+# and partitionings (the stratified_sample/dataset_split discipline).
+# Shape: assignment is in-row; counts are ONE partial-agg shuffle of
+# cluster ids; the 16-row rate table broadcasts back onto the corpus.
+def _mixture_sample_sql(dialect: str) -> str:
+    assign = _emb_cluster_body(dialect)
+    if dialect == "spark":
+        u = "CAST(conv(substring(md5(CAST(a.vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        u = _hex8_duck("md5(a.vec_id::VARCHAR)")
+    return f"""
+WITH assign AS ({assign}),
+counts AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+           FROM assign GROUP BY cluster_id),
+rates AS (SELECT cluster_id, n,
+                 floor(pow((SELECT min(n) FROM counts) * 1.0 / n, 0.3)
+                       * 4294967296) AS thr
+          FROM counts)
+SELECT a.vec_id, a.cluster_id,
+       CAST(CASE WHEN {u} < r.thr THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM assign a JOIN rates r ON a.cluster_id = r.cluster_id
+"""
+
+
+_MIXTURE_SAMPLE_SPARK = _mixture_sample_sql("spark")
+_MIXTURE_SAMPLE_DUCK = _mixture_sample_sql("duck")
 
 # Text analysis: heuristic language-ID, quality score, token counts, fingerprint
 _SQL_LANG_ID_SPARK = r"""
@@ -3046,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _sql_query(_ANN_IVF_SPARK, "embeddings"),
         "ann_ivf_topk_trained": _sql_query(_ANN_IVF_TRAINED_SPARK, "embeddings"),
         "embedding_cluster_assign": _sql_query(_EMB_CLUSTER_SPARK, "embeddings"),
+        "cluster_mixture_sample": _sql_query(_MIXTURE_SAMPLE_SPARK, "embeddings"),
         "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
         "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
@@ -3149,6 +3186,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ANN_IVF_DUCK,
         "ann_ivf_topk_trained": _ANN_IVF_TRAINED_DUCK,
         "embedding_cluster_assign": _EMB_CLUSTER_DUCK,
+        "cluster_mixture_sample": _MIXTURE_SAMPLE_DUCK,
         "lang_id": _SQL_LANG_ID_DUCK,
         "quality_score": _SQL_QUALITY_DUCK,
         "token_count": _SQL_TOKENS_DUCK,
