@@ -1,0 +1,55 @@
+"""Logistic-regression quality classifier (engine/logreg, r5): trained as
+DataFrame rounds (one partial-agg gradient job per round, driver-small
+state), pinned against a pure-Python twin; loss is monotone, the model
+beats the majority class, and scoring is in-row."""
+
+from __future__ import annotations
+
+import pytest
+
+from engine import logreg
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+SF = "/root/testdata/sf0.001"
+LABEL = "n_chars >= 300"
+LR, ITERS = 2.0, 25
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    return logreg.featurize(docs, LABEL).localCheckpoint()
+
+
+def test_training_matches_python_twin_and_descends(spark, feats):
+    w, losses = logreg.train_logreg(feats, lr=LR, iters=ITERS)
+    rows = [(list(r["x"]), float(r["y"])) for r in feats.collect()]
+    pw, plosses = logreg.python_logreg(rows, lr=LR, iters=ITERS)
+    assert all(abs(a - b) < 1e-7 for a, b in zip(w, pw)), (w, pw)
+    assert all(abs(a - b) < 1e-7 for a, b in zip(losses, plosses))
+    # full-batch GD with a sane lr: loss never increases, and moves
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0] * 0.99
+
+
+def test_model_beats_majority_class(spark, feats):
+    w, _ = logreg.train_logreg(feats, lr=LR, iters=ITERS)
+    s = logreg.score(feats, w)
+    acc = s.selectExpr(
+        "avg(CASE WHEN CAST(pred AS DOUBLE) = y THEN 1.0 ELSE 0.0 END) AS a"
+    ).collect()[0]["a"]
+    majority = s.selectExpr("greatest(avg(y), 1.0 - avg(y)) AS b").collect()[0][
+        "b"
+    ]
+    assert acc >= 0.75 and acc > majority + 0.05, (acc, majority)
+
+
+def test_training_is_deterministic_and_scoring_is_inrow(spark, feats):
+    a, _ = logreg.train_logreg(feats, lr=LR, iters=5)
+    b, _ = logreg.train_logreg(feats, lr=LR, iters=5)
+    assert a == b
+    plan = logreg.score(feats, a)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # broadcast-literal weights, no move
