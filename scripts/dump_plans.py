@@ -190,6 +190,28 @@ def main() -> None:
         "global rank window orders the tiny char-pair aggregate only.",
         _plan(em.queries()["bpe_merge_round1"](spark, args.sf), "simple"),
     ))
+    sections.append((
+        "Embedding cluster assignment (r5)",
+        "Domain bucketing against the frozen codebook: in-row exact "
+        "quantized-L2 argmin over 16 broadcast literals — scan → Project, "
+        "ZERO Exchange, no Window.",
+        _plan(em.queries()["embedding_cluster_assign"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Cluster mixture sampling (r5)",
+        "Temperature reweighting: counts are one partial-agg shuffle of "
+        "cluster ids; the 16-row rate table broadcasts back; keep decision "
+        "is an integer md5-uniform comparison.",
+        _plan(em.queries()["cluster_mixture_sample"](spark, args.sf), "simple"),
+    ))
+    sections.append((
+        "Bigram-LM scoring (lm_bigram_nll, r5)",
+        "Both count-table joins broadcast (vocabulary-sized model); the "
+        "in-statement model CTEs re-scan the reference slice so DuckDB can "
+        "mirror them — the production path (engine/lm) trains once and "
+        "scores with ONE corpus scan (pytest plan pin).",
+        _plan(em.queries()["lm_bigram_nll"](spark, args.sf), "simple"),
+    ))
 
     lines = [
         "# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)",
