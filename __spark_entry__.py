@@ -1417,7 +1417,7 @@ def _emb_cluster_body(dialect: str) -> str:
         body = (
             f"SELECT vec_id, CAST(array_position(d, array_min(d)) - 1 AS BIGINT)"
             f" AS cluster_id, CAST(array_min(d) AS BIGINT) AS d2_q "
-            f"FROM (SELECT vec_id, {dists} AS d FROM e) t"
+            f"FROM (SELECT vec_id, {dists} AS d FROM ({e_cte}) e) t"
         )
     else:
         e_cte = (
@@ -1441,11 +1441,12 @@ def _emb_cluster_body(dialect: str) -> str:
         body = (
             f"SELECT vec_id, CAST(list_position(d, list_min(d)) - 1 AS BIGINT)"
             f" AS cluster_id, CAST(list_min(d) AS BIGINT) AS d2_q "
-            f"FROM (SELECT vec_id, {dists} AS d FROM e) t"
+            f"FROM (SELECT vec_id, {dists} AS d FROM ({e_cte}) e) t"
         )
-    # a self-contained SELECT (the e-subquery inlined) so callers can embed
-    # it as a CTE body — used by the assignment query AND mixture sampling
-    return body.replace("FROM e)", f"FROM ({e_cte}) e)")
+    # a self-contained SELECT (the e-subquery inlined at construction) so
+    # callers can embed it as a CTE body — used by the assignment query
+    # AND mixture sampling
+    return body
 
 
 _EMB_CLUSTER_SPARK = _emb_cluster_body("spark")
@@ -2389,19 +2390,23 @@ WHERE rank <= 20
 # count tables — vocabulary-sized, so Catalyst broadcasts them and the
 # corpus never shuffles. ln/avg are double math rounded to 4 (the same
 # cross-engine tolerance as idf_r/stats_aggregates, hash-green since r3).
+# tokenizer / bigram / reference-slice rules are IMPORTED from engine/lm
+# (the minhash sharing discipline): the production train-once path and
+# this oracle pair compute the same construction by definition.
+from engine.lm import BIGRAMS_EXPR as _LM_BIGRAMS  # noqa: E402
+from engine.lm import REF_RULE as _LM_REF  # noqa: E402
+from engine.lm import TOKENS_EXPR as _LM_TOKENS  # noqa: E402
+
+
 def _lm_bigram_sql(dialect: str) -> str:
     if dialect == "spark":
-        tok = (
-            "SELECT doc_id, filter(split(text, ' '), w -> w != '') AS ws "
-            "FROM documents"
-        )
+        tok = f"SELECT doc_id, {_LM_TOKENS} AS ws FROM documents"
         bi = (
-            "SELECT doc_id, b.w1, b.w2 FROM tok "
-            "LATERAL VIEW explode(transform(slice(ws, 1, size(ws) - 1), "
-            "(w, i) -> struct(w AS w1, ws[i + 1] AS w2))) t AS b "
-            "WHERE size(ws) >= 2"
+            f"SELECT doc_id, b.w1, b.w2 FROM tok "
+            f"LATERAL VIEW explode({_LM_BIGRAMS}) t AS b "
+            f"WHERE size(ws) >= 2"
         )
-        uni = "SELECT explode(ws) AS w FROM tok WHERE doc_id % 7 = 0"
+        uni = f"SELECT explode(ws) AS w FROM tok WHERE {_LM_REF}"
     else:
         tok = (
             "SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ws "
@@ -2411,11 +2416,11 @@ def _lm_bigram_sql(dialect: str) -> str:
             "SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 "
             "FROM tok, unnest(range(1, len(ws))) AS t(i)"
         )
-        uni = "SELECT unnest(ws) AS w FROM tok WHERE doc_id % 7 = 0"
+        uni = f"SELECT unnest(ws) AS w FROM tok WHERE {_LM_REF}"
     return f"""
 WITH tok AS ({tok}),
 bi AS ({bi}),
-refbi AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE doc_id % 7 = 0
+refbi AS (SELECT w1, w2, count(*) AS c2 FROM bi WHERE {_LM_REF}
           GROUP BY w1, w2),
 refuni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM refbi GROUP BY w1),
 vocab AS (SELECT count(DISTINCT w) AS v FROM ({uni}) q),

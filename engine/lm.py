@@ -22,34 +22,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# THE source of truth for the LM construction — the registry query's SQL
+# is BUILT from these (the minhash sharing discipline), so tokenizer rule,
+# bigram transform, and reference-slice rule cannot drift between the
+# oracled query and this production path.
 REF_RULE = "doc_id % 7 = 0"
-
-_BIGRAMS_EXPR = (
+TOKENS_EXPR = "filter(split(text, ' '), w -> w != '')"
+BIGRAMS_EXPR = (
     "transform(slice(ws, 1, size(ws) - 1), "
     "(w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
 )
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id", F.expr("filter(split(text, ' '), w -> w != '')").alias("ws")
-    )
+    return docs.select("doc_id", F.expr(TOKENS_EXPR).alias("ws"))
 
 
 def _bigrams(docs: DataFrame) -> DataFrame:
     return (
         _tokens(docs)
         .where("size(ws) >= 2")
-        .select("doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("b"))
+        .select("doc_id", F.explode(F.expr(BIGRAMS_EXPR)).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
 
 
 def train_bigram_lm(docs: DataFrame, model_path: str) -> None:
-    """One pass over the reference slice -> persisted model:
-    ``{model_path}/bigrams`` (w1, w2, c2), ``{model_path}/unigrams``
-    (w1, c1 — sum of outgoing bigrams, exactly the query's refuni), and
-    ``{model_path}/meta`` (v = distinct reference tokens)."""
+    """Persist the model from the reference slice: ``{model_path}/bigrams``
+    (w1, w2, c2), ``{model_path}/unigrams`` (w1, c1 — sum of outgoing
+    bigrams, exactly the query's refuni), and ``{model_path}/meta``
+    (v = distinct reference tokens). Costs two reference-slice scans
+    (bigram counts + vocab — different aggregate keys, and materializing
+    the token stream to save the second scan would cost more than the
+    scan at corpus scale) plus one read-back of the vocabulary-sized
+    bigrams table; training runs rarely, scoring is the hot path."""
     ref = docs.where(REF_RULE)
     bi = (
         _bigrams(ref)

@@ -110,7 +110,13 @@ def python_logreg(
         loss = 0.0
         for x, y in rows:
             m = sum(a * b for a, b in zip(x, w))
-            p = 1.0 / (1.0 + math.exp(-m))
+            # stable sigmoid (review r5): exp(-m) overflows past |m|~709
+            # where the Spark expression saturates to 0/1 — branch on sign
+            if m >= 0:
+                p = 1.0 / (1.0 + math.exp(-m))
+            else:
+                e = math.exp(m)
+                p = e / (1.0 + e)
             for j in range(DIM):
                 g[j] += (p - y) * x[j]
             loss += math.log(1.0 + math.exp(-abs(m))) + (
