@@ -144,12 +144,14 @@ def write_pages_warc(rows, path: str, records_per_file: int = 0) -> None:
             f.write(bytes(out))
 
 
-def _parse_warc_stream(blob: bytes, src: str):
-    """Yield (url, warc_ts, html, lang, status) tuples from a multi-member
-    .warc.gz byte string. Non-response records are skipped; malformed
-    members/records yield error rows tagged with the source file."""
+def _walk_warc_members(blob: bytes, src: str):
+    """Shared member walk for every WARC-family parser (response records,
+    WET conversion records): gzip member iteration with magic-byte resync
+    (one error per corrupt REGION), WARC header/field parsing, and
+    content-length/truncation checks. Yields
+    ``("err", status, fields_or_None)`` or ``("rec", fields, content)``;
+    record-type filtering and payload interpretation belong to callers."""
     import zlib
-    from datetime import datetime
 
     pos = 0
     in_bad_region = False
@@ -160,11 +162,11 @@ def _parse_warc_stream(blob: bytes, src: str):
             if not d.eof:
                 raise zlib.error("truncated gzip member")
         except zlib.error:
-            # one error row per corrupt REGION (resync candidates that fail
+            # one error per corrupt REGION (resync candidates that fail
             # again are the same region, not new members), then forward-scan
             # for the next gzip member magic and resume
             if not in_bad_region:
-                yield (src, None, None, None, "error:corrupt gzip member")
+                yield ("err", "error:corrupt gzip member", None)
                 in_bad_region = True
             nxt = blob.find(b"\x1f\x8b\x08", pos + 1)
             if nxt < 0:
@@ -176,30 +178,56 @@ def _parse_warc_stream(blob: bytes, src: str):
         pos += consumed
         sep = rec.find(b"\r\n\r\n")
         if sep < 0 or not rec.startswith(b"WARC/"):
-            yield (src, None, None, None, "error:malformed warc header")
+            yield ("err", "error:malformed warc header", None)
             continue
         fields = {}
         for line in rec[:sep].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             fields[k.strip().lower()] = v.strip()
-        if fields.get(b"warc-type") != b"response":
-            continue  # warcinfo/request/metadata records: not pages
-        url = fields.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         try:
-            ts = datetime.strptime(
-                fields[b"warc-date"].decode(), "%Y-%m-%dT%H:%M:%SZ"
-            )
             ln = int(fields[b"content-length"])
         except (KeyError, ValueError):
-            yield (url or src, None, None, None, "error:malformed warc fields")
+            yield ("err", "error:malformed warc fields", fields)
             continue
         content = rec[sep + 4 : sep + 4 + ln]
         if len(content) < ln:
-            yield (url or src, None, None, None, "error:truncated record")
+            yield ("err", "error:truncated record", fields)
+            continue
+        yield ("rec", fields, content)
+
+
+def _rec_url(fields, src: str) -> str:
+    if not fields:
+        return src
+    return fields.get(b"warc-target-uri", b"").decode("utf-8", "replace") or src
+
+
+def _rec_ts(fields):
+    from datetime import datetime
+
+    return datetime.strptime(fields[b"warc-date"].decode(), "%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_warc_stream(blob: bytes, src: str):
+    """Yield (url, warc_ts, html, lang, status) tuples from a multi-member
+    .warc.gz byte string. Non-response records are skipped; malformed
+    members/records yield error rows tagged with the source file."""
+    for kind, a, b in _walk_warc_members(blob, src):
+        if kind == "err":
+            yield (_rec_url(b, src), None, None, None, a)
+            continue
+        fields, content = a, b
+        if fields.get(b"warc-type") != b"response":
+            continue  # warcinfo/request/metadata records: not pages
+        url = _rec_url(fields, src)
+        try:
+            ts = _rec_ts(fields)
+        except (KeyError, ValueError):
+            yield (url, None, None, None, "error:malformed warc fields")
             continue
         hsep = content.find(b"\r\n\r\n")
         if not content.startswith(b"HTTP/") or hsep < 0:
-            yield (url or src, None, None, None, "error:malformed http envelope")
+            yield (url, None, None, None, "error:malformed http envelope")
             continue
         lang = fields.get(b"warc-identified-content-language")
         yield (
@@ -233,6 +261,108 @@ def read_pages_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(f"{path}/*.warc.gz")
     return files.select("path", "content").mapInPandas(
         warc_parse_batches, schema=WARC_PAGES_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# WET (r5) — Common Crawl's extracted-text derivative: WARC *conversion*
+# records whose payload is the plain text itself (no HTTP envelope). The
+# engine's extraction output is exactly what WET carries, so exporting a
+# run as .warc.wet.gz makes it a drop-in producer for WET consumers; the
+# reader makes WET corpora a first-class text source. Same member-per-
+# record gzip layout (cdx-indexable), same resync behavior (shared walk).
+# ---------------------------------------------------------------------------
+
+WET_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string, status string"
+)
+
+
+def encode_wet_record(
+    url: str, warc_ts, text: str, lang: str | None = None
+) -> bytes:
+    """One WARC/1.0 conversion record: WARC headers + utf-8 plain text."""
+    body = text.encode("utf-8")
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: conversion",
+        b"WARC-Target-URI: " + url.encode(),
+        b"WARC-Date: " + warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
+    ]
+    if lang is not None:
+        headers.append(b"WARC-Identified-Content-Language: " + lang.encode())
+    headers += [
+        b"Content-Type: text/plain",
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def write_pages_wet(rows, path: str, records_per_file: int = 0) -> None:
+    """(url, warc_ts, text, lang) rows -> .warc.wet.gz archives, one gzip
+    member per conversion record (record-at-time compression, same layout
+    discipline as write_pages_warc)."""
+    import gzip
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    rows = list(rows)
+    step = records_per_file or len(rows) or 1
+    for fi in range(0, (len(rows) + step - 1) // step):
+        chunk = rows[fi * step : (fi + 1) * step]
+        out = bytearray()
+        for url, warc_ts, text, lang in chunk:
+            out += gzip.compress(encode_wet_record(url, warc_ts, str(text), lang))
+        with open(os.path.join(path, f"part-{fi:05d}.warc.wet.gz"), "wb") as f:
+            f.write(bytes(out))
+
+
+def _parse_wet_stream(blob: bytes, src: str):
+    """Yield (url, warc_ts, text, lang, status) from a .warc.wet.gz byte
+    string — conversion records only (warcinfo headers are skipped); the
+    shared member walk supplies resync + typed error rows."""
+    for kind, a, b in _walk_warc_members(blob, src):
+        if kind == "err":
+            yield (_rec_url(b, src), None, None, None, a)
+            continue
+        fields, content = a, b
+        if fields.get(b"warc-type") != b"conversion":
+            continue
+        url = _rec_url(fields, src)
+        try:
+            ts = _rec_ts(fields)
+        except (KeyError, ValueError):
+            yield (url, None, None, None, "error:malformed warc fields")
+            continue
+        lang = fields.get(b"warc-identified-content-language")
+        yield (
+            url,
+            ts,
+            content.decode("utf-8", "replace"),
+            lang.decode("utf-8", "replace") if lang is not None else None,
+            "ok",
+        )
+
+
+def read_pages_wet(spark: SparkSession, path: str) -> DataFrame:
+    """.warc.wet.gz archive dir -> (url, warc_ts, text, lang, status).
+    Same scan shape as read_pages_warc: one Arrow-batched parse task per
+    archive file; corrupt members -> error rows with resync."""
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "text", "lang", "status")}
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                for tup in _parse_wet_stream(bytes(blob), str(src)):
+                    for k, v in zip(rows, tup):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(f"{path}/*.wet.gz")
+    return files.select("path", "content").mapInPandas(
+        parse, schema=WET_PAGES_SCHEMA
     )
 
 

@@ -381,3 +381,67 @@ def test_warc_indexed_missing_archive_and_traversal_are_error_rows(
     bad = {idx[i]["url"] for i in (1, 2, 3, 4)}
     assert ok == {u for u, *_ in rows} - bad
     assert len(got) == len(rows)  # no duplicated tail records
+
+
+def test_wet_roundtrip_is_byte_identical_extraction(spark, pages_unit_path, tmp_path):
+    """r5 WET export: extraction output written as WARC conversion records
+    (.warc.wet.gz) reads back with byte-identical text, timestamps, and
+    langs — the engine is a drop-in WET producer/consumer."""
+    from engine import pipeline
+
+    pages = spark.read.parquet(pages_unit_path)
+    ext = {
+        r["url"]: r["extracted_text"]
+        for r in pipeline.run_fused(pages).collect()
+    }
+    meta = {
+        r["url"]: (r["warc_ts"], r["lang"])
+        for r in pages.select("url", "warc_ts", "lang").collect()
+    }
+    rows = [(u, meta[u][0], ext[u], meta[u][1]) for u in sorted(ext)]
+    wd = str(tmp_path / "wet")
+    sources.write_pages_wet(rows, wd, records_per_file=7)
+
+    got = sources.read_pages_wet(spark, wd).collect()
+    assert all(r["status"] == "ok" for r in got)
+    back = {r["url"]: (r["warc_ts"], r["text"], r["lang"]) for r in got}
+    assert back == {u: (ts, t, lg) for u, ts, t, lg in rows}
+
+
+def test_wet_reader_skips_foreign_and_resyncs(spark, pages_unit_path, tmp_path):
+    """WET reader: warcinfo/response records in the archive are skipped,
+    and a corrupt member costs one typed error row with the tail
+    recovered (shared member walk)."""
+    import gzip
+
+    from datetime import datetime
+
+    wd = str(tmp_path / "wet")
+    rows = [
+        (f"https://wet{i}.example/p", datetime(2026, 2, 1, 0, 0, i),
+         f"text number {i} with some words", "en")
+        for i in range(6)
+    ]
+    blob = bytearray()
+    info = b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    blob += gzip.compress(info)
+    resp = sources.encode_warc_record(
+        "https://resp.example/x", datetime(2026, 2, 1), b"<p>html</p>", "en"
+    )
+    blob += gzip.compress(resp)  # response record: not WET content
+    for i, (u, ts, t, lg) in enumerate(rows):
+        member = gzip.compress(sources.encode_wet_record(u, ts, t, lg))
+        if i == 3:
+            member = bytearray(member)
+            member[3:11] = b"\xde\xad\xbe\xef\xde\xad\xbe\xef"
+            member = bytes(member)
+        blob += member
+    __import__("os").makedirs(wd)
+    with open(f"{wd}/part-00000.warc.wet.gz", "wb") as f:
+        f.write(bytes(blob))
+
+    got = sources.read_pages_wet(spark, wd).collect()
+    ok = {r["url"]: r["text"] for r in got if r["status"] == "ok"}
+    errs = [r for r in got if r["status"] != "ok"]
+    assert len(errs) == 1 and errs[0]["status"] == "error:corrupt gzip member"
+    assert ok == {u: t for j, (u, ts, t, lg) in enumerate(rows) if j != 3}
