@@ -1486,6 +1486,50 @@ FROM assign a JOIN rates r ON a.cluster_id = r.cluster_id
 _MIXTURE_SAMPLE_SPARK = _mixture_sample_sql("spark")
 _MIXTURE_SAMPLE_DUCK = _mixture_sample_sql("duck")
 
+
+# Trained quality-classifier scoring (r5): the frozen logistic-regression
+# weights (scripts/train_quality_model.py -> engine/logreg_model.py, the
+# third frozen model beside the IVF codebook and the BPE merges) applied
+# corpus-wide — per-row feature map + sigmoid with the weight literals
+# shared by BOTH engines. Zero shuffle; the margin expression is written
+# with a fixed operation order so both engines compute bit-identical
+# doubles before the rounded sigmoid.
+from engine.logreg_model import TRAINED_WEIGHTS as _LR_W  # noqa: E402
+
+
+def _quality_clf_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "filter(split(text, ' '), w -> w != '')"
+        stops = (
+            "filter(split(text, ' '), "
+            "w -> w IN ('the', 'and', 'of', 'a', 'to'))"
+        )
+        n = f"size({toks})"
+        nstop = f"size({stops})"
+    else:
+        toks = "list_filter(string_split(text, ' '), w -> w != '')"
+        stops = (
+            "list_filter(string_split(text, ' '), "
+            "w -> w IN ('the', 'and', 'of', 'a', 'to'))"
+        )
+        n = f"len({toks})"
+        nstop = f"len({stops})"
+    x1 = "least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0"
+    x2 = f"CAST({nstop} AS DOUBLE) / greatest({n}, 1)"
+    x3 = f"least(CAST(length(text) AS DOUBLE) / greatest({n}, 1), 15.0) / 15.0"
+    w0, w1, w2, w3 = (f"CAST({v!r} AS DOUBLE)" for v in _LR_W)
+    m = f"({w0} + {w1} * ({x1}) + {w2} * ({x2}) + {w3} * ({x3}))"
+    return f"""
+SELECT doc_id,
+       CAST(round(1.0 / (1.0 + exp(-{m})), 4) AS DOUBLE) AS p_quality,
+       CAST(CASE WHEN {m} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM documents
+"""
+
+
+_QUALITY_CLF_SPARK = _quality_clf_sql("spark")
+_QUALITY_CLF_DUCK = _quality_clf_sql("duck")
+
 # Text analysis: heuristic language-ID, quality score, token counts, fingerprint
 _SQL_LANG_ID_SPARK = r"""
 SELECT doc_id,
@@ -3088,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_trained": _sql_query(_ANN_IVF_TRAINED_SPARK, "embeddings"),
         "embedding_cluster_assign": _sql_query(_EMB_CLUSTER_SPARK, "embeddings"),
         "cluster_mixture_sample": _sql_query(_MIXTURE_SAMPLE_SPARK, "embeddings"),
+        "quality_classifier_score": _sql_query(_QUALITY_CLF_SPARK, "documents"),
         "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
         "quality_score": _sql_query(_SQL_QUALITY_SPARK, "documents"),
         "token_count": _sql_query(_SQL_TOKENS_SPARK, "documents"),
@@ -3192,6 +3237,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_trained": _ANN_IVF_TRAINED_DUCK,
         "embedding_cluster_assign": _EMB_CLUSTER_DUCK,
         "cluster_mixture_sample": _MIXTURE_SAMPLE_DUCK,
+        "quality_classifier_score": _QUALITY_CLF_DUCK,
         "lang_id": _SQL_LANG_ID_DUCK,
         "quality_score": _SQL_QUALITY_DUCK,
         "token_count": _SQL_TOKENS_DUCK,

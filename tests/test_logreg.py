@@ -53,3 +53,40 @@ def test_training_is_deterministic_and_scoring_is_inrow(spark, feats):
     assert a == b
     plan = logreg.score(feats, a)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # broadcast-literal weights, no move
+
+
+def test_frozen_model_reproducible_and_query_consistent(spark, feats):
+    """The committed engine/logreg_model.py weights reproduce under the
+    committed hyperparameters (allclose — float-summation caveat), and the
+    oracled quality_classifier_score query's predictions equal
+    engine.logreg.score with the same frozen weights."""
+    import math
+
+    import __spark_entry__ as em
+
+    from engine import logreg_model
+
+    w, _ = logreg.train_logreg(
+        feats, lr=logreg_model.TRAINED_LR, iters=logreg_model.TRAINED_ITERS
+    )
+    assert all(
+        math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+        for a, b in zip(w, logreg_model.TRAINED_WEIGHTS)
+    ), (w, logreg_model.TRAINED_WEIGHTS)
+
+    q = {
+        r["doc_id"]: (r["p_quality"], r["pred"])
+        for r in em.queries()["quality_classifier_score"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    f2 = logreg.featurize(docs, logreg_model.TRAINED_LABEL)
+    s = logreg.score(f2, list(logreg_model.TRAINED_WEIGHTS))
+    # score() carries no doc_id — compare the prediction histogram
+    from collections import Counter
+
+    preds_q = Counter(p for _, p in q.values())
+    preds_s = Counter(int(r["pred"]) for r in s.collect())
+    assert preds_q == preds_s, (preds_q, preds_s)
+    assert all(0.0 <= p <= 1.0 for p, _ in q.values())
