@@ -69,6 +69,14 @@ def main() -> None:
         help="also write the stage-1 candidate-blocks table to <out>_blocks "
         "(SURVEY.md §1.3 intermediate data model)",
     )
+    ap.add_argument(
+        "--wet-out",
+        default=None,
+        metavar="DIR",
+        help="r5: also export the merged extraction output as Common Crawl "
+        "WET (.warc.wet.gz conversion records, one gzip member per doc) — "
+        "the engine as a drop-in WET producer",
+    )
     args = ap.parse_args()
 
     spark = get_spark(master=args.master)
@@ -134,6 +142,18 @@ def main() -> None:
     tableio.write_table(metrics_df, f"{args.out}_metrics")
 
     n = final.count()
+    if args.wet_out:
+        from engine import sources
+
+        # the extracted table carries no lang column (language is an input
+        # attribute); WET's language header is optional — emit without it
+        wet_src = final.where("status IN ('ok', 'fallback')").selectExpr(
+            "url", "warc_ts", "coalesce(extracted_text, '') AS text",
+            "CAST(NULL AS STRING) AS lang",
+        )
+        # distributed: each partition writes its own archive, no collect
+        manifest = sources.write_pages_wet_distributed(wet_src, args.wet_out)
+        manifest.collect()  # tiny (one row per written file): forces the write
     print(json.dumps({"rows": n, "wall_ms": wall_ms, "mode": args.mode}))
     spark.stop()
 

@@ -317,6 +317,53 @@ def write_pages_wet(rows, path: str, records_per_file: int = 0) -> None:
             f.write(bytes(out))
 
 
+def write_pages_wet_distributed(df: DataFrame, path: str) -> DataFrame:
+    """Distributed WET export: each partition writes ONE .warc.wet.gz
+    archive (records as individual gzip members, partition id in the file
+    name for determinism) — no driver-side collect, the 100 TB shape.
+    ``df``: (url, warc_ts, text, lang). Returns a (file, n_records)
+    manifest frame; evaluating it performs the write."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batches):
+        import gzip
+        import os as _os
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = bytearray()
+        n = 0
+        for pdf in batches:
+            for u, ts, t, lg in zip(
+                pdf["url"], pdf["warc_ts"], pdf["text"], pdf["lang"]
+            ):
+                out += gzip.compress(
+                    encode_wet_record(
+                        str(u), ts, "" if t is None else str(t),
+                        None if lg is None else str(lg),
+                    )
+                )
+                n += 1
+        if n:
+            name = f"part-{pid:05d}.warc.wet.gz"
+            tmp = _os.path.join(path, f"_tmp-{name}")
+            with open(tmp, "wb") as f:
+                f.write(bytes(out))
+            _os.rename(tmp, _os.path.join(path, name))  # task-retry safe
+            yield pd.DataFrame({"file": [name], "n_records": [n]})
+        else:
+            yield pd.DataFrame({"file": pd.Series([], dtype="object"),
+                                "n_records": pd.Series([], dtype="int64")})
+
+    return df.select("url", "warc_ts", "text", "lang").mapInPandas(
+        write_part, schema="file string, n_records long"
+    )
+
+
 def _parse_wet_stream(blob: bytes, src: str):
     """Yield (url, warc_ts, text, lang, status) from a .warc.wet.gz byte
     string — conversion records only (warcinfo headers are skipped); the

@@ -445,3 +445,35 @@ def test_wet_reader_skips_foreign_and_resyncs(spark, pages_unit_path, tmp_path):
     errs = [r for r in got if r["status"] != "ok"]
     assert len(errs) == 1 and errs[0]["status"] == "error:corrupt gzip member"
     assert ok == {u: t for j, (u, ts, t, lg) in enumerate(rows) if j != 3}
+
+
+def test_wet_distributed_writer_matches_driver_writer(spark, pages_unit_path, tmp_path):
+    """r5: the distributed WET export (one archive per partition, no
+    driver collect, task-retry-safe tmp+rename) reads back identical
+    records to the driver-side fixture writer on the same rows."""
+    from datetime import datetime
+
+    rows = [
+        (f"https://d{i}.example/p", datetime(2026, 3, 1, 0, 0, i),
+         f"wet text {i} alpha beta", "en" if i % 2 else None)
+        for i in range(23)
+    ]
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    sources.write_pages_wet(rows, a_dir, records_per_file=5)
+
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    ).repartition(4)
+    manifest = sources.write_pages_wet_distributed(df, b_dir).collect()
+    assert sum(m["n_records"] for m in manifest) == 23
+    assert len(manifest) <= 4 and all(
+        m["file"].endswith(".warc.wet.gz") for m in manifest
+    )
+
+    def back(d):
+        return {
+            (r["url"], r["warc_ts"], r["text"], r["lang"])
+            for r in sources.read_pages_wet(spark, d).collect()
+        }
+
+    assert back(a_dir) == back(b_dir) == set(rows)
