@@ -408,3 +408,51 @@ def incremental_extract_warc(
     )
     query.awaitTermination()
     return query
+
+
+def incremental_ingest_wet(
+    spark: SparkSession,
+    wet_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental WET ingest (r5): the streaming twin of
+    ``sources.read_pages_wet`` — arriving ``.warc.wet.gz`` archives parse
+    once per AvailableNow pass into the text-documents sink (already-
+    extracted text needs no extraction stage; WET corpora feed the text
+    analytics family directly). Corrupt members surface as error rows and
+    are dropped before the sink, same as the WARC stream."""
+    from engine.sources import WET_PAGES_SCHEMA, _parse_wet_stream
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "text", "lang", "status")}
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                for tup in _parse_wet_stream(bytes(blob), str(src)):
+                    for k, v in zip(rows, tup):
+                        rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(f"{wet_dir}/*.wet.gz")
+        .select("path", "content")
+    )
+    docs = files.mapInPandas(parse, schema=WET_PAGES_SCHEMA).where(
+        "status = 'ok'"
+    ).select("url", "warc_ts", "text", "lang")
+    query = (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

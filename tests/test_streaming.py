@@ -361,3 +361,52 @@ def test_incremental_extract_warc_matches_batch(spark, pages_unit_path, tmp_path
         for r in run_fused(spark.read.parquet(pages_unit_path)).collect()
     }
     assert got == want and len(got) == 64
+
+
+def test_incremental_wet_ingest_matches_batch(spark, tmp_path):
+    """r5: two-batch incremental WET ingest equals the batch reader on the
+    union corpus — each archive parsed exactly once (checkpointed source),
+    second pass picks up only the new archive."""
+    import os
+
+    from datetime import datetime
+
+    from engine import sources
+    from engine.streaming import incremental_ingest_wet
+
+    wet_dir = str(tmp_path / "wet")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    rows1 = [
+        (f"https://w{i}.example/p", datetime(2026, 4, 1, 0, 0, i),
+         f"first batch text {i}", "en")
+        for i in range(5)
+    ]
+    rows2 = [
+        (f"https://w{i}.example/p", datetime(2026, 4, 2, 0, 0, i),
+         f"second batch text {i}", "de")
+        for i in range(5, 9)
+    ]
+    sources.write_pages_wet(rows1, wet_dir)
+    incremental_ingest_wet(spark, wet_dir, out_dir, cp_dir)
+    first = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert first == {u for u, *_ in rows1}
+
+    # second archive arrives (distinct name)
+    blob = b"".join(
+        __import__("gzip").compress(sources.encode_wet_record(u, ts, t, lg))
+        for u, ts, t, lg in rows2
+    )
+    with open(os.path.join(wet_dir, "part-late.warc.wet.gz"), "wb") as f:
+        f.write(blob)
+    incremental_ingest_wet(spark, wet_dir, out_dir, cp_dir)
+
+    got = {
+        (r["url"], r["warc_ts"], r["text"], r["lang"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["url"], r["warc_ts"], r["text"], r["lang"])
+        for r in sources.read_pages_wet(spark, wet_dir).collect()
+    }
+    assert got == batch == set(rows1) | set(rows2)
