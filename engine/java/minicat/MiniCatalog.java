@@ -61,6 +61,16 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces, ProcedureC
       }
       return new MiniGroupsTable(baseKey, name);
     }
+    if (name.endsWith("$snapshots")) {
+      // r5: SELECT * FROM mini.ns.`t$snapshots` — Iceberg snapshots analog
+      String base = name.substring(0, name.length() - "$snapshots".length());
+      String baseKey =
+          catalogName + "." + String.join(".", ident.namespace()) + "." + base;
+      if (MiniStore.get(baseKey) == null) {
+        throw new NoSuchTableException(ident);
+      }
+      return new MiniSnapshotsTable(baseKey, name);
+    }
     MiniStore.Entry e = MiniStore.get(key(ident));
     if (e == null) {
       throw new NoSuchTableException(ident);

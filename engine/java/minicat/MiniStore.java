@@ -178,6 +178,40 @@ public final class MiniStore {
     }
   }
 
+  /** Per-retained-snapshot summary for the {@code t$snapshots} metadata
+   *  table (r5): [snapshot_id, total_rows, groups_changed_vs_previous
+   *  (-1 for the oldest retained), is_current]. COW makes "changed"
+   *  cheap and exact: unchanged groups share LIST IDENTITY between
+   *  snapshots, so a reference comparison suffices. One lock, no torn
+   *  rows. */
+  static long[][] snapshotSummary(String key) {
+    Entry e = require(key);
+    synchronized (e) {
+      long[][] out = new long[e.snapshots.size()][4];
+      ArrayList<ArrayList<InternalRow>> prev = null;
+      int i = 0;
+      for (Map.Entry<Long, ArrayList<ArrayList<InternalRow>>> en
+          : e.snapshots.entrySet()) {
+        ArrayList<ArrayList<InternalRow>> gs = en.getValue();
+        long rows = 0;
+        long changed = 0;
+        for (int g = 0; g < NUM_GROUPS; g++) {
+          rows += gs.get(g).size();
+          if (prev != null && gs.get(g) != prev.get(g)) {
+            changed++;
+          }
+        }
+        out[i][0] = en.getKey();
+        out[i][1] = rows;
+        out[i][2] = prev == null ? -1 : changed;
+        out[i][3] = en.getKey() == e.commitSeq ? 1 : 0;
+        prev = gs;
+        i++;
+      }
+      return out;
+    }
+  }
+
   private static void commitSnapshot(Entry e) {
     e.commitSeq++;
     e.snapshots.put(e.commitSeq, new ArrayList<>(e.groups));

@@ -317,3 +317,35 @@ def test_group_stats_skip_refuted_groups(spark, mini_table):
         f"SELECT * FROM {mini_table} VERSION AS OF 1 WHERE url = 'u7'"
     )
     assert [tuple(r) for r in old.collect()] == [("u7", "t7", 7)]
+
+
+def test_snapshots_metadata_table(spark, mini_table):
+    """r5 Iceberg `t.snapshots` analog: `t$snapshots` lists every retained
+    snapshot with total rows, groups changed vs the previous snapshot
+    (exact via COW list identity; NULL for the oldest), and the current
+    marker; expire_snapshots shrinks the listing."""
+    _df(spark, BASE).writeTo(mini_table).append()  # snapshot 1
+    tableio.merge_by_url_iceberg(spark, mini_table, _df(spark, [("u2", "TWO", 2)]))
+
+    prefix, name = mini_table.rsplit(".", 1)
+    meta = f"{prefix}.`{name}$snapshots`"
+    rows = {
+        r["snapshot_id"]: (r["total_rows"], r["groups_changed"], r["is_current"])
+        for r in spark.sql(f"SELECT * FROM {meta}").collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0] == (0, None, False)          # empty table, oldest
+    assert rows[1][0] == 3 and rows[1][1] == 3  # 3 inserts -> 3 home groups
+    assert rows[2][0] == 3 and rows[2][1] == 1  # single-key MERGE: 1 group
+    assert rows[2][2] is True and not rows[1][2]
+
+    # expire: only the newest 2 remain, summary re-anchors (oldest -> NULL)
+    _, ns, name = mini_table.split(".")
+    spark.sql(
+        f"CALL mini.expire_snapshots(table => '{ns}.{name}', retain_last => 2)"
+    )
+    left = {
+        r["snapshot_id"]: r["groups_changed"]
+        for r in spark.sql(f"SELECT * FROM {meta}").collect()
+    }
+    assert set(left) == {1, 2} and left[1] is None and left[2] == 1
