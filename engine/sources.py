@@ -150,7 +150,13 @@ def _walk_warc_members(blob: bytes, src: str):
     (one error per corrupt REGION), WARC header/field parsing, and
     content-length/truncation checks. Yields
     ``("err", status, fields_or_None)`` or ``("rec", fields, content)``;
-    record-type filtering and payload interpretation belong to callers."""
+    record-type filtering and payload interpretation belong to callers.
+
+    Field validation runs for EVERY record type (r5 — previously foreign
+    records were skipped before their Content-Length was parsed): a
+    warcinfo/request record with a malformed or lying Content-Length is
+    archive corruption and surfaces as a typed error row rather than
+    being silently dropped."""
     import zlib
 
     pos = 0
@@ -312,7 +318,10 @@ def write_pages_wet(rows, path: str, records_per_file: int = 0) -> None:
         chunk = rows[fi * step : (fi + 1) * step]
         out = bytearray()
         for url, warc_ts, text, lang in chunk:
-            out += gzip.compress(encode_wet_record(url, warc_ts, str(text), lang))
+            # None text -> empty body (matches the distributed writer)
+            out += gzip.compress(
+                encode_wet_record(url, warc_ts, "" if text is None else str(text), lang)
+            )
         with open(os.path.join(path, f"part-{fi:05d}.warc.wet.gz"), "wb") as f:
             f.write(bytes(out))
 
@@ -330,30 +339,49 @@ def write_pages_wet_distributed(df: DataFrame, path: str) -> DataFrame:
     def write_part(batches):
         import gzip
         import os as _os
+        import uuid as _uuid
+        from datetime import datetime
 
         import pandas as pd
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        out = bytearray()
+        name = f"part-{pid:05d}.warc.wet.gz"
+        # tmp name unique per ATTEMPT: a speculative/zombie attempt must
+        # never interleave writes into a sibling attempt's file — each
+        # writes its own tmp, the atomic rename makes the last one win
+        # (attempts produce identical content)
+        tmp = _os.path.join(path, f"_tmp-{_uuid.uuid4().hex[:8]}-{name}")
         n = 0
-        for pdf in batches:
-            for u, ts, t, lg in zip(
-                pdf["url"], pdf["warc_ts"], pdf["text"], pdf["lang"]
-            ):
-                out += gzip.compress(
-                    encode_wet_record(
-                        str(u), ts, "" if t is None else str(t),
-                        None if lg is None else str(lg),
+        f = None
+        try:
+            for pdf in batches:
+                for u, ts, t, lg in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["text"], pdf["lang"]
+                ):
+                    if f is None:
+                        f = open(tmp, "wb")
+                    # null warc_ts (NaT through pandas): WARC-Date is
+                    # mandatory — record the Unix epoch rather than
+                    # failing the task or dropping the row
+                    if ts is None or pd.isna(ts):
+                        ts = datetime(1970, 1, 1)
+                    # member-at-a-time append: constant memory per task,
+                    # never the whole archive in a bytearray
+                    f.write(
+                        gzip.compress(
+                            encode_wet_record(
+                                str(u), ts, "" if t is None else str(t),
+                                None if lg is None else str(lg),
+                            )
+                        )
                     )
-                )
-                n += 1
+                    n += 1
+        finally:
+            if f is not None:
+                f.close()
         if n:
-            name = f"part-{pid:05d}.warc.wet.gz"
-            tmp = _os.path.join(path, f"_tmp-{name}")
-            with open(tmp, "wb") as f:
-                f.write(bytes(out))
-            _os.rename(tmp, _os.path.join(path, name))  # task-retry safe
+            _os.rename(tmp, _os.path.join(path, name))
             yield pd.DataFrame({"file": [name], "n_records": [n]})
         else:
             yield pd.DataFrame({"file": pd.Series([], dtype="object"),
@@ -391,25 +419,29 @@ def _parse_wet_stream(blob: bytes, src: str):
         )
 
 
+def wet_parse_batches(batches):
+    """mapInPandas stage body shared by the batch and STREAMING WET readers
+    (same discipline as warc_parse_batches — one parse loop, two scan
+    shapes): (path, content) file batches -> WET_PAGES_SCHEMA row
+    batches."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {k: [] for k in ("url", "warc_ts", "text", "lang", "status")}
+        for src, blob in zip(pdf["path"], pdf["content"]):
+            for tup in _parse_wet_stream(bytes(blob), str(src)):
+                for k, v in zip(rows, tup):
+                    rows[k].append(v)
+        yield pd.DataFrame(rows)
+
+
 def read_pages_wet(spark: SparkSession, path: str) -> DataFrame:
     """.warc.wet.gz archive dir -> (url, warc_ts, text, lang, status).
     Same scan shape as read_pages_warc: one Arrow-batched parse task per
     archive file; corrupt members -> error rows with resync."""
-
-    def parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {k: [] for k in ("url", "warc_ts", "text", "lang", "status")}
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                for tup in _parse_wet_stream(bytes(blob), str(src)):
-                    for k, v in zip(rows, tup):
-                        rows[k].append(v)
-            yield pd.DataFrame(rows)
-
     files = spark.read.format("binaryFile").load(f"{path}/*.wet.gz")
     return files.select("path", "content").mapInPandas(
-        parse, schema=WET_PAGES_SCHEMA
+        wet_parse_batches, schema=WET_PAGES_SCHEMA
     )
 
 

@@ -422,18 +422,7 @@ def incremental_ingest_wet(
     extracted text needs no extraction stage; WET corpora feed the text
     analytics family directly). Corrupt members surface as error rows and
     are dropped before the sink, same as the WARC stream."""
-    from engine.sources import WET_PAGES_SCHEMA, _parse_wet_stream
-
-    def parse(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {k: [] for k in ("url", "warc_ts", "text", "lang", "status")}
-            for src, blob in zip(pdf["path"], pdf["content"]):
-                for tup in _parse_wet_stream(bytes(blob), str(src)):
-                    for k, v in zip(rows, tup):
-                        rows[k].append(v)
-            yield pd.DataFrame(rows)
+    from engine.sources import WET_PAGES_SCHEMA, wet_parse_batches
 
     files = (
         spark.readStream.format("binaryFile")
@@ -444,7 +433,7 @@ def incremental_ingest_wet(
         .load(f"{wet_dir}/*.wet.gz")
         .select("path", "content")
     )
-    docs = files.mapInPandas(parse, schema=WET_PAGES_SCHEMA).where(
+    docs = files.mapInPandas(wet_parse_batches, schema=WET_PAGES_SCHEMA).where(
         "status = 'ok'"
     ).select("url", "warc_ts", "text", "lang")
     query = (

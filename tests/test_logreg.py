@@ -80,13 +80,19 @@ def test_frozen_model_reproducible_and_query_consistent(spark, feats):
             spark, "/root/testdata/sf0.001"
         ).collect()
     }
+    # exact PER-DOCUMENT pin (review r5 — a histogram-only compare would
+    # miss offsetting feature-map drift): rebuild the margin from
+    # engine.logreg's own feature/margin expressions with doc_id carried
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    f2 = logreg.featurize(docs, logreg_model.TRAINED_LABEL)
-    s = logreg.score(f2, list(logreg_model.TRAINED_WEIGHTS))
-    # score() carries no doc_id — compare the prediction histogram
-    from collections import Counter
-
-    preds_q = Counter(p for _, p in q.values())
-    preds_s = Counter(int(r["pred"]) for r in s.collect())
-    assert preds_q == preds_s, (preds_q, preds_s)
+    m = logreg._margin(list(logreg_model.TRAINED_WEIGHTS))
+    expected = {
+        r["doc_id"]: int(r["pred"])
+        for r in docs.selectExpr(
+            "doc_id", f"{logreg.FEATURES_EXPR} AS x"
+        ).selectExpr(
+            "doc_id",
+            f"CAST(CASE WHEN {m} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred",
+        ).collect()
+    }
+    assert {d: p for d, (_, p) in q.items()} == expected
     assert all(0.0 <= p <= 1.0 for p, _ in q.values())
