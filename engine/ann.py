@@ -155,6 +155,13 @@ def ivf_topk(
     # a pre-r5 centroids table has no metric column -> the dot_q default
     if "metric" in cent.columns:
         metric_rows = cent.selectExpr("metric").distinct().collect()
+        # a corrupt index carrying mixed metric values must fail loudly,
+        # not probe with an arbitrarily chosen one (ADVICE r5)
+        if len(metric_rows) > 1:
+            raise ValueError(
+                "corrupt IVF index: centroids table carries mixed metrics "
+                + str(sorted(r["metric"] for r in metric_rows))
+            )
         metric = metric_rows[0]["metric"] if metric_rows else "dot_q"
     else:
         metric = "dot_q"

@@ -28,8 +28,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # oracled query and this production path.
 REF_RULE = "doc_id % 7 = 0"
 TOKENS_EXPR = "filter(split(text, ' '), w -> w != '')"
+# slice length is self-guarding (greatest(..., 0)) so a zero-token doc is
+# safe even if Catalyst ever stops pushing the size(ws) >= 2 filter below
+# the Generate in the registry query's LATERAL VIEW form (ADVICE r5)
 BIGRAMS_EXPR = (
-    "transform(slice(ws, 1, size(ws) - 1), "
+    "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
     "(w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
 )
 

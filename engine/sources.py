@@ -11,7 +11,20 @@ schema inference would re-scan the source and can drift column types.
 
 from __future__ import annotations
 
+import hashlib
+import uuid as _uuid_mod
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+def _record_id(url: str, warc_ts) -> bytes:
+    """Deterministic WARC-Record-ID (mandatory WARC/1.0 named field,
+    ADVICE r5): a urn:uuid derived from md5(url + warc_ts), so identical
+    inputs produce identical records — the byte-identity twins (driver vs
+    distributed writer, export vs re-export) stay pinned."""
+    ts = "" if warc_ts is None else warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    digest = hashlib.md5(f"{url}\x00{ts}".encode()).digest()
+    return b"<urn:uuid:" + str(_uuid_mod.UUID(bytes=digest)).encode() + b">"
 
 PAGES_JSONL_SCHEMA = T.StructType(
     [
@@ -109,6 +122,7 @@ def encode_warc_record(
     headers = [
         b"WARC/1.0",
         b"WARC-Type: response",
+        b"WARC-Record-ID: " + _record_id(url, warc_ts),
         b"WARC-Target-URI: " + url.encode(),
         b"WARC-Date: " + warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
     ]
@@ -292,6 +306,7 @@ def encode_wet_record(
     headers = [
         b"WARC/1.0",
         b"WARC-Type: conversion",
+        b"WARC-Record-ID: " + _record_id(url, warc_ts),
         b"WARC-Target-URI: " + url.encode(),
         b"WARC-Date: " + warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode(),
     ]

@@ -399,6 +399,7 @@ def merge_by_url(
         _write_layout(target_path, n_buckets)
         _refresh_stats(spark, target_path)
         return
+    _heal_swaps(target_path)  # restore any bucket a prior crash left aside
     dirty = sorted(
         r["bucket"] for r in upd.select("bucket").distinct().collect()
     )
@@ -419,17 +420,27 @@ def merge_by_url(
         merged = kept.unionByName(upd)
     else:
         merged = upd
-    tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{target_path}.tmp-{tag}"
     merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     # widen BEFORE the swap so a crash at any point leaves conservative
     # (superset) ranges; tightened to exact after the swap succeeds
     _widen_stats_for_swap(spark, target_path, tmp, dirty)
+    # aside-dir two-rename swap (ADVICE r5): the old rmtree(dst)+rename
+    # left a crash window where the bucket's data was simply gone. Now the
+    # live dir moves aside first and is deleted LAST, so every intermediate
+    # state reads consistently and _heal_swaps restores/garbage-collects.
     for b in dirty:
         src = f"{tmp}/bucket={b}"
         dst = f"{target_path}/bucket={b}"
+        if not os.path.exists(src):
+            continue  # no merged rows landed in this bucket: keep old data
         if os.path.exists(dst):
-            shutil.rmtree(dst)
-        if os.path.exists(src):
+            aside = os.path.join(target_path, f"_gc-{tag}-bucket-{b}")
+            os.rename(dst, aside)
+            os.rename(src, dst)
+            shutil.rmtree(aside)
+        else:
             os.rename(src, dst)
     shutil.rmtree(tmp)
     # the swap replaced files under an existing path: drop Spark's shared
@@ -478,6 +489,27 @@ def write_lineage(spark: SparkSession, target_path: str, run_id: str) -> str:
     return lineage_path
 
 
+def _heal_swaps(target_path: str) -> None:
+    """Self-heal interrupted bucket swaps from a prior crash — shared by
+    :func:`compact` and :func:`merge_by_url` (ADVICE r5: the merge swap now
+    uses the same aside-dir two-rename pattern, so one heal covers both)."""
+    for d in sorted(os.listdir(target_path)):
+        full = os.path.join(target_path, d)
+        if d.startswith("_compact-"):
+            shutil.rmtree(full)  # incomplete fresh write: old data is live
+        elif d.startswith("_gc-"):
+            # names avoid '=' (a partition-discovery trigger even under a
+            # leading underscore): "bucket-N" encodes the live "bucket=N"
+            live = os.path.join(
+                target_path,
+                d.split("-", 2)[2].replace("bucket-", "bucket=", 1),
+            )
+            if os.path.exists(live):
+                shutil.rmtree(full)  # swap completed: aside dir is garbage
+            else:
+                os.rename(full, live)  # crashed between the two renames
+
+
 def compact(
     spark: SparkSession, target_path: str, max_files_per_bucket: int = 1
 ) -> list[int]:
@@ -499,22 +531,7 @@ def compact(
     the pre-swap data and is restored)."""
     if not _is_bucketed(target_path):
         return []
-    # self-heal interrupted swaps from a prior crash
-    for d in sorted(os.listdir(target_path)):
-        full = os.path.join(target_path, d)
-        if d.startswith("_compact-"):
-            shutil.rmtree(full)  # incomplete fresh write: old data is live
-        elif d.startswith("_gc-"):
-            # names avoid '=' (a partition-discovery trigger even under a
-            # leading underscore): "bucket-N" encodes the live "bucket=N"
-            live = os.path.join(
-                target_path,
-                d.split("-", 2)[2].replace("bucket-", "bucket=", 1),
-            )
-            if os.path.exists(live):
-                shutil.rmtree(full)  # swap completed: aside dir is garbage
-            else:
-                os.rename(full, live)  # crashed between the two renames
+    _heal_swaps(target_path)
     done: list[int] = []
     for d in sorted(os.listdir(target_path)):
         if not d.startswith("bucket="):

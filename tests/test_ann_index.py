@@ -169,3 +169,23 @@ def test_kmeans_codebook_training(spark):
     a = ann.train_ivf_codebook(spark, SF, k=8, iters=3).collect()
     b = ann.train_ivf_codebook(spark, SF, k=8, iters=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_topk_rejects_mixed_metric_index(spark, index_path, tmp_path):
+    """ADVICE r5: a corrupt centroids table carrying mixed metric values
+    must raise, not silently probe with an arbitrarily chosen metric."""
+    from pyspark.sql import functions as F
+
+    bad = str(tmp_path / "bad_index")
+    os.makedirs(bad)
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    corrupt = cent.withColumn(
+        "metric", F.expr("CASE WHEN cid % 2 = 0 THEN 'dot_q' ELSE 'l2' END")
+    )
+    corrupt.write.parquet(f"{bad}/centroids")
+    import shutil
+
+    shutil.copytree(f"{index_path}/lists", f"{bad}/lists")
+    queries = spark.read.parquet(f"{SF}/embeddings.parquet").limit(2)
+    with pytest.raises(ValueError, match="mixed metrics"):
+        ann.ivf_topk(spark, bad, queries, nprobe=2, k=3).collect()

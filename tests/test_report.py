@@ -150,3 +150,15 @@ def test_lm_trained_model_equals_registry_query(spark, tmp_path):
     )
     assert plan.count("documents.parquet") == 1, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_lm_bigrams_expr_is_self_guarding_on_empty_docs(spark):
+    """ADVICE r5: BIGRAMS_EXPR must be safe on zero-token docs WITHOUT
+    relying on Catalyst pushing the size(ws) >= 2 filter below the
+    Generate — slice with greatest(size-1, 0) never sees length -1."""
+    from engine.lm import BIGRAMS_EXPR
+
+    rows = spark.sql(
+        "SELECT explode_outer(" + BIGRAMS_EXPR.replace("ws", "CAST(array() AS ARRAY<STRING>)") + ") AS b"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["b"] is None

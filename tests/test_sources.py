@@ -477,3 +477,24 @@ def test_wet_distributed_writer_matches_driver_writer(spark, pages_unit_path, tm
         }
 
     assert back(a_dir) == back(b_dir) == set(rows)
+
+
+def test_warc_and_wet_records_carry_deterministic_record_id(tmp_path):
+    """ADVICE r5: WARC-Record-ID is a mandatory WARC/1.0 named field —
+    both encoders emit it, derived deterministically from (url, warc_ts)
+    so identical inputs still produce byte-identical archives."""
+    import re
+    from datetime import datetime
+
+    ts = datetime(2026, 3, 1, 12, 0, 0)
+    for enc, payload in (
+        (sources.encode_warc_record, b"<html>x</html>"),
+        (sources.encode_wet_record, "x"),
+    ):
+        a = enc("https://rid.example/p", ts, payload, "en")
+        b = enc("https://rid.example/p", ts, payload, "en")
+        assert a == b  # deterministic: twins stay byte-identical
+        m = re.search(rb"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>\r\n", a)
+        assert m, a[:200]
+        other = enc("https://rid.example/q", ts, payload, "en")
+        assert m.group(1) not in other  # distinct per (url, ts)

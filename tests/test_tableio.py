@@ -419,3 +419,49 @@ def test_compact_crash_states_read_consistently_and_self_heal(spark, tmp_path):
     tableio.compact(spark, path)
     assert not os.path.exists(os.path.join(path, "_gc-0badf00d-bucket-0"))
     assert table() == want
+
+
+def test_merge_crash_states_read_consistently_and_self_heal(spark, tmp_path):
+    """ADVICE r5: merge_by_url's bucket swap now uses compact()'s aside-dir
+    two-rename pattern — simulate the crash states and assert the table
+    always reads a consistent version and the next merge self-heals. The
+    old rmtree(dst)+rename had a window where a bucket's data was gone."""
+    import shutil
+
+    path = str(tmp_path / "tbl")
+    rows = [(f"u{i}", f"t{i}", 1) for i in range(64)]
+    df = spark.createDataFrame(rows, "url string, extracted_text string, ver long")
+    tableio.merge_by_url(spark, path, df, n_buckets=4)
+    want = sorted(tuple(r) for r in spark.read.parquet(path).drop("bucket").collect())
+
+    def table():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).drop("bucket").collect()
+        )
+
+    # crash state 1: crashed between the two renames — bucket=0 moved aside,
+    # fresh dir never moved in. Reader sees no bucket=0; next merge restores.
+    bdir = os.path.join(path, "bucket=0")
+    os.rename(bdir, os.path.join(path, "_gc-feedface-bucket-0"))
+    spark.catalog.refreshByPath(path)
+    upd = spark.createDataFrame(
+        [("u1", "new", 2)], "url string, extracted_text string, ver long"
+    )
+    tableio.merge_by_url(spark, path, upd)
+    assert os.path.isdir(bdir)  # healed before merging
+    got = table()
+    assert ("u1", "new", 2) in got and len(got) == len(want)
+
+    # crash state 2: swap completed, aside dir not yet deleted — the aside
+    # is underscore-prefixed so readers never double-count; merge GCs it.
+    shutil.copytree(bdir, os.path.join(path, "_gc-0defaced-bucket-0"))
+    before = table()
+    tableio.merge_by_url(
+        spark, path,
+        spark.createDataFrame(
+            [("u2", "newer", 3)], "url string, extracted_text string, ver long"
+        ),
+    )
+    assert not os.path.exists(os.path.join(path, "_gc-0defaced-bucket-0"))
+    got = table()
+    assert ("u2", "newer", 3) in got and len(got) == len(before)
