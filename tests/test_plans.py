@@ -379,3 +379,21 @@ def test_paragraph_dedup_uses_aggregate_not_window(spark):
     final = _final_adaptive_plan(df)
     assert "Window" not in final, final
     assert "partial_min" in final or "HashAggregate" in final, final
+
+
+def test_substring_dedup_shuffles_digests_only_no_window(spark):
+    """r6 VERDICT #1: sliding-gram substring dedup — gram hashing is
+    in-row (transform over the token array), keeper resolution is a
+    partial-aggregated min(struct) per digest (no Window: a boilerplate
+    gram shared by millions of docs must stay AQE-splittable), and NO
+    Exchange carries document text or token arrays — only digests and
+    fixed-width ids cross the wire."""
+    import __spark_entry__ as em
+
+    df = em.queries()["substring_dedup"](spark, "/root/testdata/sf0.001")
+    final = _final_adaptive_plan(df)
+    assert "Window" not in final, final
+    assert "partial_min" in final or "HashAggregate" in final, final
+    for line in final.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line and "toks#" not in line, line

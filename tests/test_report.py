@@ -162,3 +162,49 @@ def test_lm_bigrams_expr_is_self_guarding_on_empty_docs(spark):
         "SELECT explode_outer(" + BIGRAMS_EXPR.replace("ws", "CAST(array() AS ARRAY<STRING>)") + ") AS b"
     ).collect()
     assert len(rows) == 1 and rows[0]["b"] is None
+
+
+def test_substring_dedup_catches_offset_repeats_paragraph_dedup_misses(
+    spark, tmp_path
+):
+    """r6 VERDICT #1: a repeated >=16-token passage offset by half a chunk
+    (and by an arbitrary 3 tokens) escapes paragraph_dedup — its aligned
+    16-token chunks hash differently in each copy (the miss, pinned here) —
+    while substring_dedup's sliding every-position 16-grams catch it at ANY
+    alignment."""
+    import __spark_entry__ as em
+
+    passage = " ".join(f"p{i}" for i in range(20))  # 20-token repeat
+    filler_a = " ".join(f"a{i}" for i in range(4))
+    filler_b = " ".join(f"b{i}" for i in range(8))  # half-chunk offset
+    filler_c = " ".join(f"c{i}" for i in range(3))  # arbitrary offset
+    rows = [
+        (0, passage + " " + filler_a),                 # first occurrence
+        (1, filler_b + " " + passage + " " + filler_a),
+        (2, filler_c + " " + passage),
+        (3, " ".join(f"u{i}" for i in range(24))),     # unique control
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    para = {
+        r["doc_id"]: r["keep_ratio"]
+        for r in em.queries()["paragraph_dedup"](spark, sf).collect()
+    }
+    # THE MISS: every copy's aligned chunks are distinct corpus-wide, so
+    # paragraph_dedup reports the offset copies as fully novel
+    assert para[1] == 1.0 and para[2] == 1.0, para
+
+    sub = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in em.queries()["substring_dedup"](spark, sf).collect()
+    }
+    # THE CATCH: docs 1 and 2 repeat doc 0's passage -> all 5 interior
+    # grams of the 20-token passage are owned by doc 0, at both offsets
+    n1, k1 = sub[1]
+    n2, k2 = sub[2]
+    assert k1 <= n1 - 5 and k2 <= n2 - 5, sub
+    assert sub[0][0] == sub[0][1]  # first occurrence owns its grams
+    assert sub[3][0] == sub[3][1]  # unique control fully novel
