@@ -77,6 +77,14 @@ def main() -> None:
         "WET (.warc.wet.gz conversion records, one gzip member per doc) — "
         "the engine as a drop-in WET producer",
     )
+    ap.add_argument(
+        "--wat-out",
+        default=None,
+        metavar="DIR",
+        help="r6: also export the INPUT pages' link/head metadata as Common "
+        "Crawl WAT (.warc.wat.gz metadata records, JSON envelope per page) "
+        "— completes the WARC/WET/WAT triple",
+    )
     args = ap.parse_args()
 
     spark = get_spark(master=args.master)
@@ -108,6 +116,15 @@ def main() -> None:
             .where("status = 'ok'")
             .select("url", "warc_ts", "html", "lang")
         )
+    if args.wat_out:
+        from engine import sources
+
+        # WAT derives from the RAW pages (the DOM walk needs html), so it
+        # exports before resume filtering — metadata covers every input
+        # page of this invocation; distributed, one archive per partition
+        sources.write_pages_wat_distributed(
+            pages.select("url", "warc_ts", "html"), args.wat_out
+        ).collect()  # tiny manifest (one row per file): forces the write
     if args.resume:
         pages = tableio.remaining(pages, args.out)
 

@@ -445,3 +445,39 @@ def incremental_ingest_wet(
     )
     query.awaitTermination()
     return query
+
+
+def incremental_ingest_wat(
+    spark: SparkSession,
+    wat_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental WAT ingest (r6): the streaming twin of
+    ``sources.read_pages_wat`` — arriving ``.warc.wat.gz`` archives parse
+    once per AvailableNow pass into a (url, warc_ts, payload) metadata
+    sink for link-graph analytics. Corrupt members surface as error rows
+    and are dropped before the sink, same as the WARC/WET streams."""
+    from engine.sources import WAT_PAGES_SCHEMA, wat_parse_batches
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(f"{wat_dir}/*.wat.gz")
+        .select("path", "content")
+    )
+    meta = files.mapInPandas(wat_parse_batches, schema=WAT_PAGES_SCHEMA).where(
+        "status = 'ok'"
+    ).select("url", "warc_ts", "payload")
+    query = (
+        meta.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

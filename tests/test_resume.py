@@ -108,3 +108,31 @@ def test_lineage_written(spark, pages_unit_path, tmp_path):
     payload = json.load(open(path))
     assert payload["total_rows"] == 64
     assert all(p["rows"] > 0 for p in payload["partitions"])
+
+
+def test_cli_wat_out_exports_input_pages_metadata(spark, pages_small_path, tmp_path):
+    """r6: --wat-out exports WAT metadata for every INPUT page of the run
+    (raw pages, pre-resume) alongside the extraction output."""
+    import sys
+    from unittest import mock
+
+    from engine import run_pipeline, sources
+
+    out = str(tmp_path / "extracted")
+    wat = str(tmp_path / "wat")
+    argv = [
+        "run_pipeline.py", "--pages", pages_small_path, "--out", out,
+        "--wat-out", wat, "--run-id", "r1",
+        "--master", spark.sparkContext.master,
+    ]
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch.object(run_pipeline, "get_spark", lambda master=None: spark), \
+            mock.patch.object(spark, "stop", lambda: None):
+        run_pipeline.main()
+    pages = spark.read.parquet(pages_small_path)
+    got = sources.read_pages_wat(spark, wat).collect()
+    assert all(r["status"] == "ok" for r in got)
+    assert {r["url"] for r in got} == {
+        r["url"] for r in pages.select("url").collect()
+    }
+    assert all('"Links":' in r["payload"] for r in got)

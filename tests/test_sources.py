@@ -498,3 +498,142 @@ def test_warc_and_wet_records_carry_deterministic_record_id(tmp_path):
         assert m, a[:200]
         other = enc("https://rid.example/q", ts, payload, "en")
         assert m.group(1) not in other  # distinct per (url, ts)
+
+
+def test_wat_roundtrip_outlinks_and_title(spark, pages_unit_path, tmp_path):
+    """r6 WAT export: pages written as WARC metadata records
+    (.warc.wat.gz) read back with payloads whose Links/Head sections
+    equal a direct DOM walk of the same html — the engine completes the
+    Common Crawl WARC/WET/WAT triple."""
+    import json
+
+    from extraction.html_clean import decode_html
+    from extraction.outlinks import page_links
+
+    rows = [(u, ts, h) for u, ts, h, _ in _pages_rows(spark, pages_unit_path)]
+    wd = str(tmp_path / "wat")
+    sources.write_pages_wat(rows, wd, records_per_file=7)
+
+    got = sources.read_pages_wat(spark, wd).collect()
+    assert all(r["status"] == "ok" for r in got)
+    assert {r["url"] for r in got} == {u for u, _, _ in rows}
+    html_by_url = {u: h for u, _, h in rows}
+    for r in got:
+        env = json.loads(r["payload"])["Envelope"]
+        assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r["url"]
+        hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+        links, title = page_links(decode_html(html_by_url[r["url"]]))
+        assert [l["url"] for l in hm["Links"]] == links
+        if title is not None:
+            assert hm["Head"]["Title"] == title
+
+
+def test_wat_distributed_writer_matches_driver_writer(
+    spark, pages_unit_path, tmp_path
+):
+    """The no-collect per-partition WAT writer and the driver writer
+    produce archives that read back identically (same payload per url)."""
+    rows = [(u, ts, h) for u, ts, h, _ in _pages_rows(spark, pages_unit_path)]
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    sources.write_pages_wat(rows, a_dir, records_per_file=5)
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    ).repartition(3)
+    manifest = sources.write_pages_wat_distributed(df, b_dir).collect()
+    assert sum(m["n_records"] for m in manifest) == len(rows)
+    assert all(m["file"].endswith(".warc.wat.gz") for m in manifest)
+    back = [
+        {
+            (r["url"], r["warc_ts"], r["payload"], r["status"])
+            for r in sources.read_pages_wat(spark, d).collect()
+        }
+        for d in (a_dir, b_dir)
+    ]
+    assert back[0] == back[1]
+
+
+def test_outlinks_robust_to_hostile_markup():
+    """The WAT DOM walk must not be fooled by script bodies, comments,
+    entities, self-closing anchors, or href-less <a> tags."""
+    from extraction.outlinks import page_links
+
+    html = (
+        "<html><head><title>T &amp; U</title></head><body>"
+        '<script>var s = \'<a href="/fake">\';</script>'
+        '<!-- <a href="/commented">no</a> -->'
+        '<a href="/real?a=1&amp;b=2">one</a>'
+        "<a name=anchor>no href</a>"
+        '<a href="/self"/><a href=/unquoted>u</a>'
+        '<a data-x="y" href="/second-attr">s</a></body></html>'
+    )
+    links, title = page_links(html)
+    assert links == ["/real?a=1&b=2", "/self", "/unquoted", "/second-attr"]
+    assert title == "T & U"
+    # never raises on garbage
+    assert page_links("<a href=<<<" * 50)[0] == []
+
+
+def test_wet_wat_resync_mutation_fuzz():
+    """r6 VERDICT #8: the WARC mutation fuzz extended to the WET
+    conversion-record and WAT metadata-record parsers — 300 random
+    mutations each must never raise, never duplicate an ok record, and
+    every ok record keyed by an original url carries the exact payload
+    written for it."""
+    import gzip
+    import random
+    from datetime import datetime
+
+    ts = datetime(2026, 1, 1)
+    wet_src = {
+        f"https://w{i}.example/p": f"text {i} body " * (i + 1)
+        for i in range(10)
+    }
+    wet_blob = b"".join(
+        gzip.compress(sources.encode_wet_record(u, ts, t, "en"))
+        for u, t in wet_src.items()
+    )
+    wat_src = {
+        f"https://m{i}.example/p": sources.build_wat_payload(
+            f"https://m{i}.example/p",
+            ts,
+            b'<html><title>t</title><a href="/x%d">x</a></html>' % i,
+        )
+        for i in range(10)
+    }
+    wat_blob = b"".join(
+        gzip.compress(sources.encode_wat_record(u, ts, p))
+        for u, p in wat_src.items()
+    )
+    cases = [
+        (wet_blob, sources._parse_wet_stream, {u: t for u, t in wet_src.items()}),
+        (
+            wat_blob,
+            sources._parse_wat_stream,
+            {u: p.decode() for u, p in wat_src.items()},
+        ),
+    ]
+    rng = random.Random(7)
+    for blob, parse, want in cases:
+        for trial in range(300):
+            mut = bytearray(blob)
+            op = trial % 3
+            if op == 0:
+                at = rng.randrange(len(mut))
+                for j in range(at, min(len(mut), at + rng.randrange(1, 16))):
+                    mut[j] = rng.randrange(256)
+            elif op == 1:
+                mut = mut[: rng.randrange(1, len(mut))]
+            else:
+                at = rng.randrange(len(mut))
+                noise = bytes(
+                    rng.choice(b"\x1f\x8b\x08\x00\xffCORRUPT")
+                    for _ in range(rng.randrange(1, 64))
+                )
+                mut = mut[:at] + noise + mut[at:]
+            out = list(parse(bytes(mut), "fuzz"))  # must never raise
+            ok = [(t[0], t[2]) for t in out if t[-1] == "ok"]
+            urls = [u for u, _ in ok]
+            assert len(urls) == len(set(urls)), f"trial {trial}: duplicate"
+            for u, payload in ok:
+                if u in want:
+                    assert payload == want[u], f"trial {trial}: corrupted"

@@ -410,3 +410,56 @@ def test_incremental_wet_ingest_matches_batch(spark, tmp_path):
         for r in sources.read_pages_wet(spark, wet_dir).collect()
     }
     assert got == batch == set(rows1) | set(rows2)
+
+
+def test_incremental_wat_ingest_matches_batch(spark, tmp_path):
+    """r6: two-batch incremental WAT ingest equals the batch reader on the
+    union corpus — each archive parsed exactly once (checkpointed source),
+    second pass picks up only the new archive."""
+    import gzip
+    import os
+    from datetime import datetime
+
+    from engine import sources
+    from engine.streaming import incremental_ingest_wat
+
+    wat_dir = str(tmp_path / "wat")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    rows1 = [
+        (f"https://m{i}.example/p", datetime(2026, 4, 1, 0, 0, i),
+         b'<html><a href="/x%d">x</a></html>' % i)
+        for i in range(5)
+    ]
+    rows2 = [
+        (f"https://m{i}.example/p", datetime(2026, 4, 2, 0, 0, i),
+         b"<html><title>late</title></html>")
+        for i in range(5, 9)
+    ]
+    sources.write_pages_wat(rows1, wat_dir)
+    incremental_ingest_wat(spark, wat_dir, out_dir, cp_dir)
+    assert {r["url"] for r in spark.read.parquet(out_dir).collect()} == {
+        u for u, *_ in rows1
+    }
+
+    blob = b"".join(
+        gzip.compress(
+            sources.encode_wat_record(
+                u, ts, sources.build_wat_payload(u, ts, h)
+            )
+        )
+        for u, ts, h in rows2
+    )
+    with open(os.path.join(wat_dir, "part-late.warc.wat.gz"), "wb") as f:
+        f.write(blob)
+    incremental_ingest_wat(spark, wat_dir, out_dir, cp_dir)
+
+    got = {
+        (r["url"], r["warc_ts"], r["payload"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["url"], r["warc_ts"], r["payload"])
+        for r in sources.read_pages_wat(spark, wat_dir).collect()
+    }
+    assert got == batch and len(got) == 9
