@@ -2847,6 +2847,55 @@ SELECT 'site' || (doc_id % 50)::VARCHAR || '.example' AS host,
 FROM documents GROUP BY 1
 """
 
+# URL blocklist gate (VERDICT r5 ask #3) — the first filter every crawl
+# pipeline applies: a tiny rule table (exact host, *.host suffix, path
+# prefix) gates the corpus.  The rules live in a literal CTE shared
+# VERBATIM by both engines; the gate itself is NOT EXISTS, which Catalyst
+# plans as BroadcastNestedLoopJoin LeftAnti — the rule table broadcasts
+# and the corpus reaches the join with ZERO shuffle (plan-pinned in
+# test_plans).  At 100 TB the rule table is still a few thousand rows, so
+# the broadcast NLJ anti-join is the right plan: each corpus partition
+# streams through the literal rules in place.  Suffix rules match the
+# apex too ('ads.example' blocks both ads.example and pixel.ads.example),
+# the standard blocklist-format semantics.  Hosts/paths are synthesised
+# so every rule kind fires on a disjoint doc_id slice; survivors roll up
+# per lang with a sum(doc_id) checksum so any wrongly kept/blocked doc
+# breaks the value hash.  Reference analog: the confidence-gate role of
+# F1 (main.py:61-66) applied at the URL level.
+_SQL_URL_BLOCKLIST = """
+WITH u AS (
+  SELECT doc_id, lang,
+         CASE doc_id % 10
+           WHEN 0 THEN 'tracker.example'
+           WHEN 1 THEN 'pixel.ads.example'
+           WHEN 2 THEN 'ads.example'
+           ELSE 'site' || CAST(doc_id % 50 AS STRING) || '.example'
+         END AS host,
+         CASE WHEN doc_id % 7 = 3
+              THEN '/login/session/' || CAST(doc_id AS STRING)
+              ELSE '/p/' || CAST(doc_id AS STRING) || '/page' END AS path
+  FROM documents),
+rules AS (
+  SELECT 'host' AS kind, 'tracker.example' AS pattern
+  UNION ALL SELECT 'host_suffix', 'ads.example'
+  UNION ALL SELECT 'path_prefix', '/login/'
+),
+kept AS (
+  SELECT u.doc_id, u.lang FROM u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rules r
+    WHERE (r.kind = 'host' AND u.host = r.pattern)
+       OR (r.kind = 'host_suffix'
+           AND (u.host = r.pattern OR u.host LIKE '%.' || r.pattern))
+       OR (r.kind = 'path_prefix' AND u.path LIKE r.pattern || '%')))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM kept GROUP BY lang
+"""
+
 
 # Intra-document repetition: fraction of 8-gram occurrences that are
 # repeats within the SAME document (the other half of the public
@@ -3303,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_outlink_rollup": _q_wat_outlinks,
         "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
         "url_canonical_dedup": _sql_query(_SQL_URL_CANON_SPARK, "documents"),
+        "url_blocklist_gate": _sql_query(_SQL_URL_BLOCKLIST, "documents"),
         "domain_rollup": _sql_query(_SQL_DOMAIN_ROLLUP_SPARK, "documents"),
         "dup_ngram_ratio": _sql_query(_SQL_DUP_NGRAM_SPARK, "documents"),
         "sequence_pack": _sql_query(_SQL_SEQ_PACK_SPARK, "documents"),
@@ -3410,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "wat_outlink_rollup": _SQL_WAT_OUTLINKS_DUCK,
         "url_features": _SQL_URL_FEATURES_DUCK,
         "url_canonical_dedup": _SQL_URL_CANON_DUCK,
+        "url_blocklist_gate": _SQL_URL_BLOCKLIST,
         "domain_rollup": _SQL_DOMAIN_ROLLUP_DUCK,
         "dup_ngram_ratio": _SQL_DUP_NGRAM_DUCK,
         "sequence_pack": _SQL_SEQ_PACK_DUCK,
