@@ -83,20 +83,35 @@ def train_bpe(docs: DataFrame, k: int) -> list[tuple[int, str, str, int]]:
     """k BPE merges over the corpus. Returns
     ``[(merge_rank, sym_a, sym_b, pair_count), ...]`` (rank 1-based, the
     order a tokenizer applies them). Stops early when no pair remains."""
-    words = word_counts(docs).localCheckpoint()
+    from engine.session import local_checkpoint_tracked, release_local_checkpoint
+
+    spark = docs.sparkSession
+    words, held = local_checkpoint_tracked(word_counts(docs))
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(1, int(k) + 1):
-        top = (
-            pair_counts(words)
-            .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b, c = top[0]["sym_a"], top[0]["sym_b"], int(top[0]["pair_count"])
-        merges.append((r, a, b, c))
-        words = apply_merge(words, a, b).localCheckpoint()
+    try:
+        for r in range(1, int(k) + 1):
+            top = (
+                pair_counts(words)
+                .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, c = top[0]["sym_a"], top[0]["sym_b"], int(top[0]["pair_count"])
+            merges.append((r, a, b, c))
+            # Eager local checkpoint materializes round r's word table
+            # fully BEFORE round r-1's blocks are released — local
+            # checkpoints are RDD-level persists that Dataset.unpersist()
+            # cannot free, so without the explicit release every round's
+            # table stays pinned in executor memory until JVM GC (k tables
+            # held in a long-lived session; the flake test_invariance
+            # caught in r6).
+            words, new_held = local_checkpoint_tracked(apply_merge(words, a, b))
+            release_local_checkpoint(spark, held)
+            held = new_held
+    finally:
+        release_local_checkpoint(spark, held)
     return merges
 
 

@@ -63,27 +63,37 @@ def train_logreg(
     """Full-batch gradient descent on logistic loss. Returns (weights,
     per-round mean losses — monotone non-increasing for a sane lr,
     pytest-pinned). One aggregate job per round; the corpus never moves."""
-    feats = feats.localCheckpoint()
-    n = feats.count()
-    w = [0.0] * DIM
-    losses: list[float] = []
-    for _ in range(int(iters)):
-        m = _margin(w)
-        p = f"(1.0 / (1.0 + exp(-({m}))))"
-        aggs = [
-            F.expr(f"sum(({p} - y) * x[{j}])").alias(f"g{j}")
-            for j in range(DIM)
-        ] + [
-            # log(1+exp(-|m|)) + max(0, -ym̃) form is stable for big margins
-            F.expr(
-                f"sum(ln(1.0 + exp(-abs({m})))"
-                f" + CASE WHEN (2.0 * y - 1.0) * ({m}) < 0"
-                f" THEN abs({m}) ELSE 0.0 END)"
-            ).alias("loss")
-        ]
-        row = feats.agg(*aggs).collect()[0]
-        losses.append(float(row["loss"]) / n)
-        w = [w[j] - lr * float(row[f"g{j}"]) / n for j in range(DIM)]
+    from engine.session import local_checkpoint_tracked, release_local_checkpoint
+
+    spark = feats.sparkSession
+    feats, held = local_checkpoint_tracked(feats)
+    try:
+        n = feats.count()
+        w = [0.0] * DIM
+        losses: list[float] = []
+        for _ in range(int(iters)):
+            m = _margin(w)
+            p = f"(1.0 / (1.0 + exp(-({m}))))"
+            aggs = [
+                F.expr(f"sum(({p} - y) * x[{j}])").alias(f"g{j}")
+                for j in range(DIM)
+            ] + [
+                # log(1+exp(-|m|)) + max(0, -ym̃) is stable for big margins
+                F.expr(
+                    f"sum(ln(1.0 + exp(-abs({m})))"
+                    f" + CASE WHEN (2.0 * y - 1.0) * ({m}) < 0"
+                    f" THEN abs({m}) ELSE 0.0 END)"
+                ).alias("loss")
+            ]
+            row = feats.agg(*aggs).collect()[0]
+            losses.append(float(row["loss"]) / n)
+            w = [w[j] - lr * float(row[f"g{j}"]) / n for j in range(DIM)]
+    finally:
+        # local checkpoints are RDD-level persists that Dataset.unpersist()
+        # cannot free; only (w, losses) leave this function, so release the
+        # feature table's blocks deterministically instead of waiting for
+        # the JVM to GC the Dataset.
+        release_local_checkpoint(spark, held)
     return w, losses
 
 

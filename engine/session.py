@@ -72,3 +72,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_checkpoint_tracked(df):
+    """``df.localCheckpoint()`` plus the handle needed to release it.
+
+    A local checkpoint persists its RDD directly at the RDD level, so
+    ``Dataset.unpersist()`` (which only clears CacheManager entries) cannot
+    free it — the blocks sit in executor memory until the JVM happens to GC
+    the Dataset and the ContextCleaner reaps it. Iterative trainers
+    (engine/bpe, engine/logreg) checkpoint every round; in a long-lived
+    session that pins one table per round. Returns ``(checkpointed_df,
+    rdd_ids)`` where ``rdd_ids`` are the persistent-RDD registry entries the
+    checkpoint created — pass them to :func:`release_local_checkpoint` as
+    soon as the next round is materialized. The id diff is race-free in
+    practice: checkpoints are driver-side calls and the engine trains one
+    model at a time.
+    """
+    jsc = df.sparkSession.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint()  # eager: blocks exist before we diff
+    after = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    return out, sorted(after - before)
+
+
+def release_local_checkpoint(spark, rdd_ids) -> None:
+    """Unpersist the RDDs behind a tracked local checkpoint (see above).
+    Safe to call with ids already cleaned — missing entries are skipped."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in rdd_ids:
+        rdd = m.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)

@@ -25,6 +25,19 @@ def _docs(spark, texts):
     )
 
 
+def test_train_bpe_leaves_no_persisted_frames(spark):
+    """r6 leak fix: every per-round local checkpoint (which IS a persisted
+    RDD) must be released before train_bpe returns — only the plain-Python
+    merge list leaves the function, so nothing may stay pinned in executor
+    memory waiting for JVM GC."""
+    from tests.test_invariance import _persisted_rdd_ids
+
+    before = _persisted_rdd_ids(spark)
+    bpe.train_bpe(_docs(spark, CORPUS), 6)
+    leaked = _persisted_rdd_ids(spark) - before
+    assert not leaked, f"persisted RDDs leaked: {sorted(leaked)}"
+
+
 def test_train_bpe_equals_python_twin(spark):
     want = bpe.python_bpe(CORPUS, 12)
     got = bpe.train_bpe(_docs(spark, CORPUS), 12)

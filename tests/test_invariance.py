@@ -88,17 +88,28 @@ def test_cc_pointer_jumping_resolves_chain_in_log_rounds(spark):
     assert em._CC_LAST_ROUNDS <= 5, em._CC_LAST_ROUNDS
 
 
+def _persisted_rdd_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    ids, it = set(), m.iterator()
+    while it.hasNext():
+        ids.add(int(it.next()._1()))
+    return ids
+
+
 def test_cc_leaves_no_persisted_frames(spark):
     """ADVICE r2 #3: dedup_clusters must not leak cached partitions — the
-    returned frame is checkpoint-backed, every iterate unpersisted."""
+    returned frame is checkpoint-backed, every iterate unpersisted.
+    Asserted as a before/after diff so the pin is hermetic: earlier tests
+    in the shared session may have Datasets whose local-checkpoint blocks
+    are still awaiting ContextCleaner GC (r6 caught exactly that flake)."""
     import __spark_entry__ as em
 
     spark.catalog.clearCache()
+    before = _persisted_rdd_ids(spark)
     df = em.queries()["dedup_clusters"](spark, "/root/testdata/sf0.001")
     assert df.count() == 500
-    jsc = spark.sparkContext._jsc.sc()
-    cached = jsc.getPersistentRDDs()
-    assert cached.isEmpty(), f"{cached.size()} persisted RDDs leaked"
+    leaked = _persisted_rdd_ids(spark) - before
+    assert not leaked, f"persisted RDDs leaked: {sorted(leaked)}"
 
 
 def test_lsh_bucket_cap_drops_degenerate_buckets(spark, tmp_path):

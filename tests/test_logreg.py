@@ -24,6 +24,19 @@ def feats(spark):
     return logreg.featurize(docs, LABEL).localCheckpoint()
 
 
+def test_train_logreg_leaves_no_persisted_frames(spark, feats):
+    """r6 leak fix: train_logreg's internal local checkpoint (a persisted
+    RDD) is released before returning — only (w, losses) leave the
+    function. (The module fixture's own checkpoint is counted in
+    `before`.)"""
+    from tests.test_invariance import _persisted_rdd_ids
+
+    before = _persisted_rdd_ids(spark)
+    logreg.train_logreg(feats, lr=LR, iters=3)
+    leaked = _persisted_rdd_ids(spark) - before
+    assert not leaked, f"persisted RDDs leaked: {sorted(leaked)}"
+
+
 def test_training_matches_python_twin_and_descends(spark, feats):
     w, losses = logreg.train_logreg(feats, lr=LR, iters=ITERS)
     rows = [(list(r["x"]), float(r["y"])) for r in feats.collect()]
