@@ -2483,6 +2483,67 @@ FROM scored GROUP BY doc_id
 _SQL_LM_BIGRAM_SPARK = _lm_bigram_sql("spark")
 _SQL_LM_BIGRAM_DUCK = _lm_bigram_sql("duck")
 
+
+# DSIR-style importance resampling (VERDICT r5 ask #9) — the public
+# data-selection recipe (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling") recast onto the engine's two trained
+# frozen artifacts: each document's keep probability comes from its
+# bigram-LM NLL *percentile within its embedding cluster* — reference-like
+# docs (low NLL) keep with probability → 1, boilerplate keeps with
+# probability → 0, and ranking WITHIN the cluster means one verbose domain
+# can't crowd out everything else (the stratification mixture sampling
+# provides, now score-weighted). keep_rate = (1 - pct)², pct =
+# percent-rank of the rounded NLL in the doc's cluster; the decision is
+# the same deterministic integer-md5 draw as cluster_mixture_sample.
+#
+# Scale shape (the production note the oracle documents): the NLL scores
+# are rounded to 4 decimals, so the percentile is computed EXACTLY from a
+# (cluster_id, nll_r) histogram — ONE partial-agg shuffle of bounded
+# cardinality; the rank windows run over that tiny aggregate (16 clusters
+# × distinct scores), never over the corpus, and the per-(cluster, score)
+# rate table broadcasts back. No corpus-wide Window — the naive
+# percent_rank() OVER (PARTITION BY cluster) would sort 1/16th of a
+# 100 TB corpus per partition. In production, materialize the score +
+# assignment join first (both inputs are one scan each; the doc_id=vec_id
+# join co-locates for free when both tables are id-bucketed — see
+# engine/tableio bucketing) and reuse it for every resampling sweep.
+def _dsir_sql(dialect: str) -> str:
+    lm = _lm_bigram_sql(dialect)
+    assign = _emb_cluster_body(dialect)
+    if dialect == "spark":
+        u = "CAST(conv(substring(md5(CAST(s.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        u = _hex8_duck("md5(s.doc_id::VARCHAR)")
+    return f"""
+WITH scored AS (
+  SELECT s.doc_id, a.cluster_id, s.nll_r
+  FROM ({lm}) s JOIN ({assign}) a ON s.doc_id = a.vec_id),
+hist AS (
+  SELECT cluster_id, nll_r, CAST(count(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY cluster_id, nll_r),
+cum AS (
+  SELECT cluster_id, nll_r,
+         coalesce(sum(cnt) OVER (PARTITION BY cluster_id ORDER BY nll_r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_lower,
+         sum(cnt) OVER (PARTITION BY cluster_id) AS n_c
+  FROM hist),
+rates AS (
+  SELECT cluster_id, nll_r,
+         floor(pow(1.0 - n_lower * 1.0 /
+                   (CASE WHEN n_c > 1 THEN n_c - 1 ELSE 1 END), 2)
+               * 4294967296) AS thr
+  FROM cum)
+SELECT s.doc_id, s.cluster_id, s.nll_r,
+       CAST(CASE WHEN {u} < r.thr THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored s
+JOIN rates r ON s.cluster_id = r.cluster_id AND s.nll_r = r.nll_r
+"""
+
+
+_SQL_DSIR_SPARK = _dsir_sql("spark")
+_SQL_DSIR_DUCK = _dsir_sql("duck")
+
 # Benchmark decontamination (new in r3): flag training documents sharing any
 # 8-gram with a benchmark set — the public eval-contamination gate (cf.
 # GPT-3/Gopher decontamination methodology). The "benchmark" is a
@@ -3346,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_df": _sql_query(_SQL_VOCAB_DF_SPARK, "documents"),
         "bpe_merge_round1": _sql_query(_SQL_BPE_R1_SPARK, "documents"),
         "lm_bigram_nll": _sql_query(_SQL_LM_BIGRAM_SPARK, "documents"),
+        "dsir_resample": _sql_query(_SQL_DSIR_SPARK, "documents", "embeddings"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
         "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
         "substring_dedup": _sql_query(_SQL_SUBSTR_DEDUP_SPARK, "documents"),
@@ -3454,6 +3516,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_df": _SQL_VOCAB_DF_DUCK,
         "bpe_merge_round1": _SQL_BPE_R1_DUCK,
         "lm_bigram_nll": _SQL_LM_BIGRAM_DUCK,
+        "dsir_resample": _SQL_DSIR_DUCK,
         "decontaminate": _SQL_DECON_DUCK,
         "paragraph_dedup": _SQL_PARA_DEDUP_DUCK,
         "substring_dedup": _SQL_SUBSTR_DEDUP_DUCK,
