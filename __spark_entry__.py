@@ -1310,7 +1310,7 @@ from engine.ann import l2_q as _l2_q  # noqa: E402
 from engine.ann_codebook import TRAINED_CQ as _TRAINED_CQ  # noqa: E402
 
 
-def _ann_ivf_trained_sql(dialect: str) -> str:
+def _ann_ivf_trained_sql(dialect: str, nprobe: int = _IVF_NPROBE) -> str:
     if dialect == "spark":
         e_cte = (
             "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v, "
@@ -1364,7 +1364,7 @@ probes AS (
            row_number() OVER (PARTITION BY qv.vec_id
                               ORDER BY {_l2_q("qv.q", "c.cq", dot_q)}, c.cid) AS rn
     FROM e qv CROSS JOIN cent c WHERE qv.vec_id < 10) t
-  WHERE rn <= {_IVF_NPROBE}),
+  WHERE rn <= {nprobe}),
 cands AS (
   SELECT p.query_id, s.list_vec AS neighbor_id
   FROM probes p JOIN assign s ON s.list_id = p.probe_id),
@@ -1384,6 +1384,15 @@ WHERE rank <= 3
 
 _ANN_IVF_TRAINED_SPARK = _ann_ivf_trained_sql("spark")
 _ANN_IVF_TRAINED_DUCK = _ann_ivf_trained_sql("duck")
+
+# High-recall operating point (VERDICT r5 #4): same trained index, probe
+# width widened to the smallest nprobe whose measured recall@3 >= 0.8
+# (engine.ann.IVF_NPROBE_HIGH_RECALL = 8; curve in BENCH/ivf_recall.json,
+# swept by scripts/sweep_ivf_recall.py; pinned in test_ann_index).
+from engine.ann import IVF_NPROBE_HIGH_RECALL as _IVF_NPROBE_HR  # noqa: E402
+
+_ANN_IVF_TRAINED_HR_SPARK = _ann_ivf_trained_sql("spark", _IVF_NPROBE_HR)
+_ANN_IVF_TRAINED_HR_DUCK = _ann_ivf_trained_sql("duck", _IVF_NPROBE_HR)
 
 
 # Corpus clustering by the frozen codebook (r5): every embedding assigned
@@ -3391,6 +3400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_candidates": _sql_query(_ANN_LSH_SPARK, "embeddings"),
         "ann_ivf_topk": _sql_query(_ANN_IVF_SPARK, "embeddings"),
         "ann_ivf_topk_trained": _sql_query(_ANN_IVF_TRAINED_SPARK, "embeddings"),
+        "ann_ivf_topk_trained_hr": _sql_query(
+            _ANN_IVF_TRAINED_HR_SPARK, "embeddings"
+        ),
         "embedding_cluster_assign": _sql_query(_EMB_CLUSTER_SPARK, "embeddings"),
         "cluster_mixture_sample": _sql_query(_MIXTURE_SAMPLE_SPARK, "embeddings"),
         "quality_classifier_score": _sql_query(_QUALITY_CLF_SPARK, "documents"),
@@ -3500,6 +3512,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_candidates": _ANN_LSH_DUCK,
         "ann_ivf_topk": _ANN_IVF_DUCK,
         "ann_ivf_topk_trained": _ANN_IVF_TRAINED_DUCK,
+        "ann_ivf_topk_trained_hr": _ANN_IVF_TRAINED_HR_DUCK,
         "embedding_cluster_assign": _EMB_CLUSTER_DUCK,
         "cluster_mixture_sample": _MIXTURE_SAMPLE_DUCK,
         "quality_classifier_score": _QUALITY_CLF_DUCK,

@@ -32,6 +32,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # drift between the persisted index and the oracled query.
 IVF_CENT_RULE = "vec_id >= 10 AND vec_id % 31 = 0"
 IVF_NPROBE = 4
+# High-recall operating point (VERDICT r5 #4): the recall/nprobe sweep
+# over the frozen trained codebook at sf0.01 (scripts/sweep_ivf_recall.py
+# -> BENCH/ivf_recall.json) measures recall@3 vs exact brute-force of
+# 0.33/0.43/0.50/0.60/0.67/0.80/0.87/0.93/1.00 at nprobe
+# 1/2/3/4/6/8/10/12/16 on the held-out queries (in-corpus eval, 490
+# queries: 0.84 at nprobe=8) — nprobe=8 is the smallest probe width at
+# recall >= 0.8, pinned in test_ann_index. Half the lists sounds wide
+# because this corpus has only k=16 lists; at production scale nlists
+# grows ~sqrt(N) and the same recall target sits at a small nprobe/nlists
+# fraction — the operating CURVE, not this ratio, is what carries over.
+IVF_NPROBE_HIGH_RECALL = 8
 
 DOT_Q = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "

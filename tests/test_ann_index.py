@@ -129,6 +129,47 @@ def test_trained_recall_not_below_sampled(spark):
     assert recall_trained >= recall_sampled, (recall_trained, recall_sampled)
 
 
+def test_high_recall_operating_point(spark):
+    """VERDICT r5 #4: the documented high-recall operating point must hold
+    through the REAL Spark query — recall@3 of ann_ivf_topk_trained_hr
+    (nprobe = engine.ann.IVF_NPROBE_HIGH_RECALL = 8, chosen as the
+    smallest probe width with recall >= 0.8 on the sweep in
+    BENCH/ivf_recall.json) vs the exact brute-force top-3, and widening
+    the probe width must not lose recall vs the nprobe=4 default."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.01"
+    qs = em.queries()
+
+    def pairs(name):
+        return {
+            (r["query_id"], r["neighbor_id"]) for r in qs[name](spark, sf).collect()
+        }
+
+    exact = pairs("embedding_topk")
+    recall_hr = len(pairs("ann_ivf_topk_trained_hr") & exact) / len(exact)
+    recall_default = len(pairs("ann_ivf_topk_trained") & exact) / len(exact)
+    assert recall_hr >= 0.8, recall_hr
+    assert recall_hr >= recall_default, (recall_hr, recall_default)
+
+
+def test_sweep_matches_frozen_operating_point():
+    """The committed BENCH/ivf_recall.json operating point and the
+    engine constant must agree (regenerating the sweep keeps them honest)."""
+    import json
+
+    from engine.ann import IVF_NPROBE_HIGH_RECALL
+
+    with open("BENCH/ivf_recall.json") as f:
+        sweep = json.load(f)
+    assert sweep["operating_point"]["nprobe"] == IVF_NPROBE_HIGH_RECALL
+    assert sweep["operating_point"]["heldout_recall"] >= 0.8
+    curve = sweep["heldout"]["recall_at_3"]
+    vals = [curve[str(n)] for n in range(1, 17)]
+    assert all(b >= a for a, b in zip(vals, vals[1:])), vals
+    assert vals[-1] == 1.0  # probing every list IS the exact scan
+
+
 def test_committed_codebook_reproducible(spark):
     """Retraining with the committed hyperparameters on the committed
     corpus reproduces engine/ann_codebook.py (allclose — cross-partitioning

@@ -258,6 +258,7 @@ _CROSS_OK = {
     "ann_ivf_topk",
     # same codebook cross join, against the frozen 16-row trained literal
     "ann_ivf_topk_trained",
+    "ann_ivf_topk_trained_hr",
     # hour-spine × event-type grid: both sides tiny by construction
     "time_spine_fill",
 }
