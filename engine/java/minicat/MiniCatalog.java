@@ -102,7 +102,17 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces, ProcedureC
   public Table createTable(
       Identifier ident, StructType schema, Transform[] partitions, Map<String, String> properties)
       throws TableAlreadyExistsException {
-    if (MiniStore.create(key(ident), schema) == null) {
+    // r6 (VERDICT r5 #5): TBLPROPERTIES ('sort_by'='col') selects the
+    // sort-order layout — groups hold contiguous sorted ranges of that
+    // column per commit (Iceberg WRITE ORDERED BY analog), so the
+    // manifest min/max stats prune range filters on it. Resolved eagerly:
+    // an unknown column fails at CREATE, not first insert.
+    int sortOrdinal = -1;
+    String sortBy = properties == null ? null : properties.get("sort_by");
+    if (sortBy != null) {
+      sortOrdinal = schema.fieldIndex(sortBy); // throws on unknown column
+    }
+    if (MiniStore.create(key(ident), schema, sortOrdinal) == null) {
       throw new TableAlreadyExistsException(ident);
     }
     return new MiniTable(key(ident), ident.name(), schema);

@@ -34,6 +34,12 @@ public final class MiniStore {
 
   public static final class Entry {
     public StructType schema; // mutable: append-only evolution (r4)
+    // r6 (VERDICT r5 #5): sort-order analog. >= 0 names the schema ordinal
+    // whose SORTED contiguous chunks define group membership (Iceberg
+    // sort-order write: per-group ranges disjoint per commit, so the
+    // manifest min/max stats actually fire on range filters); -1 = the
+    // default first-column hash layout.
+    final int sortOrdinal;
     final ArrayList<ArrayList<InternalRow>> groups = new ArrayList<>();
     // r5 (VERDICT r4 #7): per-group column min/max recorded at COMMIT time
     // — the in-memory analog of Iceberg's manifest-level stats. Entry g is
@@ -47,8 +53,9 @@ public final class MiniStore {
     // stats that described THAT snapshot's groups, never the current ones
     final TreeMap<Long, Object[][]> snapshotStats = new TreeMap<>();
 
-    Entry(StructType schema) {
+    Entry(StructType schema, int sortOrdinal) {
       this.schema = schema;
+      this.sortOrdinal = sortOrdinal;
       for (int g = 0; g < NUM_GROUPS; g++) {
         groups.add(new ArrayList<>());
         stats.add(null);
@@ -63,7 +70,13 @@ public final class MiniStore {
   private MiniStore() {}
 
   static Entry create(String key, StructType schema) {
-    return TABLES.putIfAbsent(key, new Entry(schema)) == null ? TABLES.get(key) : null;
+    return create(key, schema, -1);
+  }
+
+  static Entry create(String key, StructType schema, int sortOrdinal) {
+    return TABLES.putIfAbsent(key, new Entry(schema, sortOrdinal)) == null
+        ? TABLES.get(key)
+        : null;
   }
 
   static Entry get(String key) {
@@ -301,7 +314,7 @@ public final class MiniStore {
   static void append(String key, List<InternalRow> rows) {
     Entry e = require(key);
     synchronized (e) {
-      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema);
+      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema, e.sortOrdinal);
       for (int g = 0; g < NUM_GROUPS; g++) {
         if (!buckets.get(g).isEmpty()) {
           ArrayList<InternalRow> next = new ArrayList<>(e.groups.get(g));
@@ -319,7 +332,7 @@ public final class MiniStore {
   static void replace(String key, List<InternalRow> rows) {
     Entry e = require(key);
     synchronized (e) {
-      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema);
+      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema, e.sortOrdinal);
       for (int g = 0; g < NUM_GROUPS; g++) {
         e.groups.set(g, buckets.get(g));
         e.stats.set(g, statsOf(buckets.get(g), e.schema));
@@ -348,7 +361,7 @@ public final class MiniStore {
           inScan[g] = true;
         }
       }
-      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema);
+      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema, e.sortOrdinal);
       for (int g = 0; g < NUM_GROUPS; g++) {
         if (inScan[g]) {
           e.groups.set(g, buckets.get(g));
@@ -367,13 +380,40 @@ public final class MiniStore {
   }
 
   private static ArrayList<ArrayList<InternalRow>> bucket(
-      List<InternalRow> rows, StructType schema) {
+      List<InternalRow> rows, StructType schema, int sortOrdinal) {
     ArrayList<ArrayList<InternalRow>> buckets = new ArrayList<>();
     for (int g = 0; g < NUM_GROUPS; g++) {
       buckets.add(new ArrayList<>());
     }
-    for (InternalRow r : rows) {
-      buckets.get(groupOf(r, schema)).add(r);
+    if (sortOrdinal < 0) {
+      for (InternalRow r : rows) {
+        buckets.get(groupOf(r, schema)).add(r);
+      }
+      return buckets;
+    }
+    // Sort-order layout (r6): sort this commit's rows by the sort column
+    // (nulls first — they land in group 0 whose stats stay null-aware) and
+    // deal them into NUM_GROUPS contiguous even chunks. Per commit the
+    // chunk ranges are disjoint, so the recorded min/max prune range
+    // filters; across commits ranges may overlap (exactly Iceberg, where
+    // each commit's files are sorted but the table isn't globally) and the
+    // per-group stats recomputed at every commit keep skipping correct.
+    ArrayList<InternalRow> sorted = new ArrayList<>(rows);
+    sorted.sort(
+        (a, b) -> {
+          @SuppressWarnings("unchecked")
+          Comparable<Object> va = (Comparable<Object>) statValue(a, sortOrdinal, schema);
+          @SuppressWarnings("unchecked")
+          Comparable<Object> vb = (Comparable<Object>) statValue(b, sortOrdinal, schema);
+          if (va == null || vb == null) {
+            return va == vb ? 0 : (va == null ? -1 : 1);
+          }
+          return va.compareTo(vb);
+        });
+    int n = sorted.size();
+    for (int i = 0; i < n; i++) {
+      // chunk of row i in an even split: floor(i * NUM_GROUPS / n)
+      buckets.get((int) ((long) i * NUM_GROUPS / n)).add(sorted.get(i));
     }
     return buckets;
   }

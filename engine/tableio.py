@@ -87,12 +87,25 @@ def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path).drop("bucket")
 
 
-def _write_layout(path: str, n_buckets: int) -> None:
+def _write_layout(path: str, n_buckets: int, sort_by: str | None = None) -> None:
     """Record the bucket count next to the data (the parquet-fallback analog
     of Iceberg's partition-spec metadata; underscore-prefixed files are
-    ignored by Spark's parquet listing)."""
+    ignored by Spark's parquet listing). ``sort_by`` marks a range layout
+    (see :func:`write_table_sorted`): buckets are CONTIGUOUS RANGES of that
+    column, not url hashes."""
+    layout: dict = {"n_buckets": n_buckets}
+    if sort_by is not None:
+        layout["sort_by"] = sort_by
     with open(os.path.join(path, "_layout.json"), "w", encoding="utf-8") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+        json.dump(layout, f)
+
+
+def _layout_sort_by(path: str) -> str | None:
+    layout = os.path.join(path, "_layout.json")
+    if not os.path.exists(layout):
+        return None
+    with open(layout, encoding="utf-8") as f:
+        return json.load(f).get("sort_by")
 
 
 # Columns whose per-bucket min/max are recorded in _layout.json (r5,
@@ -266,7 +279,13 @@ def read_url(spark: SparkSession, path: str, url: str) -> DataFrame | None:
     if not _is_bucketed(path) or not os.path.exists(layout):
         return read_table(spark, path).filter(F.col("url") == url)
     with open(layout, encoding="utf-8") as f:
-        n_buckets = json.load(f)["n_buckets"]
+        layout_doc = json.load(f)
+    if layout_doc.get("sort_by") is not None:
+        # range layout (write_table_sorted): bucket placement follows the
+        # sort column, not the url hash — the pruned full-table plan is the
+        # only correct point lookup here
+        return read_table(spark, path).filter(F.col("url") == url)
+    n_buckets = layout_doc["n_buckets"]
     # Validate the manifest against the directories actually present
     # (ADVICE r2 #1): a merge invoked with a different n_buckets than the
     # table's real layout would leave a stale manifest, and hashing into the
@@ -312,6 +331,62 @@ def write_table(df: DataFrame, path: str) -> None:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.rename(tmp, path)
+
+
+def write_table_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str = "warc_ts",
+    n_buckets: int = N_MERGE_BUCKETS,
+) -> None:
+    """Range-layout writer (VERDICT r5 #5) — the Iceberg sort-order analog
+    that makes the per-bucket min/max stats machinery actually FIRE on the
+    column users range-scan.
+
+    The url-hash merge layout scatters every ingest hour across every
+    bucket, so a ``warc_ts`` range overlaps all 64 recorded [min, max]
+    intervals and ``read_range`` prunes nothing on natural data. Here the
+    rows are range-partitioned ON the sort column (``repartitionByRange``
+    computes the boundaries from a sample, exactly Iceberg's sort-order
+    write) and sorted within each bucket, so bucket i holds the i-th
+    contiguous slice of the timeline: per-bucket ranges are DISJOINT up to
+    boundary ties, a range predicate overlaps only ``span/table_span`` of
+    the dirs, and within each file the parquet row-group stats are sorted
+    too (the scan's own min/max pushdown bites as well). Pytest pins that
+    a day's read lists a MINORITY of bucket dirs on uncorrelated data.
+
+    This is a read-optimized TIME-SERIES layout: bucket placement no
+    longer encodes the url hash, so ``read_url`` detects ``sort_by`` and
+    falls back to the pruned full scan, and ``merge_by_url`` refuses the
+    table (rewriting history into a range layout is a compaction job, not
+    an upsert). At 100 TB this is the append-only analytics copy of the
+    table, written once per partition roll; the url-hash copy remains the
+    upsert/point-lookup side — the same split Iceberg users make between
+    a bucket-partitioned and a sort-ordered table.
+    """
+    if sort_col not in [c for c, _ in df.dtypes]:
+        raise ValueError(f"sort column {sort_col!r} not in schema")
+    if sort_col not in STATS_COLS:
+        raise ValueError(
+            f"sort column {sort_col!r} has no recorded stats "
+            f"(STATS_COLS={STATS_COLS}); pruning could never fire"
+        )
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    arranged = (
+        df.repartitionByRange(n_buckets, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .withColumn("bucket", F.spark_partition_id())
+    )
+    # each task holds exactly one bucket value: partitionBy groups without
+    # any extra shuffle, one sorted file per bucket dir
+    arranged.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    _write_layout(path, n_buckets, sort_by=sort_col)
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(path)
+    _refresh_stats(spark, path)
 
 
 def merge_sql(table_ident: str) -> str:
@@ -375,7 +450,14 @@ def merge_by_url(
     layout_file = os.path.join(target_path, "_layout.json")
     if os.path.exists(layout_file):
         with open(layout_file, encoding="utf-8") as f:
-            n_buckets = json.load(f)["n_buckets"]
+            layout_doc = json.load(f)
+        if layout_doc.get("sort_by") is not None:
+            raise ValueError(
+                f"{target_path} is a range layout (sort_by="
+                f"{layout_doc['sort_by']!r}); merge_by_url upserts into "
+                "url-hash layouts only — rewrite via write_table_sorted"
+            )
+        n_buckets = layout_doc["n_buckets"]
     upd = _with_bucket(updates, n_buckets)
     if not os.path.exists(target_path):
         if updates.isEmpty():

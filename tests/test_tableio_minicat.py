@@ -319,6 +319,57 @@ def test_group_stats_skip_refuted_groups(spark, mini_table):
     assert [tuple(r) for r in old.collect()] == [("u7", "t7", 7)]
 
 
+def test_sort_order_layout_prunes_range_filters(spark):
+    """r6 (VERDICT r5 #5): CREATE TABLE ... TBLPROPERTIES('sort_by'='ver')
+    selects the sort-order layout — each commit's rows are dealt into
+    groups as contiguous sorted ranges of the sort column (Iceberg WRITE
+    ORDERED BY analog), so a range filter on it plans a MINORITY of the
+    groups, where the hash layout's interleaved ranges prune nothing.
+    Unknown sort column fails at CREATE."""
+    if not tableio.rowlevel_catalog_available(spark):
+        pytest.skip("dist/minicat.jar not on classpath")
+    ident = f"mini.ns.t_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {ident} (url STRING, extracted_text STRING, ver BIGINT)"
+        " TBLPROPERTIES ('sort_by'='ver')"
+    )
+    try:
+        # uncorrelated: url hash order has nothing to do with ver order
+        rows = [(f"u{i}", f"t{i}", (i * 37) % 640) for i in range(64)]
+        _df(spark, rows).writeTo(ident).append()
+
+        full = spark.table(ident)
+        n_groups = full.rdd.getNumPartitions()
+        assert n_groups > 4
+        assert sorted(tuple(r) for r in full.collect()) == sorted(rows)
+
+        # one-eighth of the value span -> a strict minority of groups
+        some = spark.table(ident).filter("ver >= 560")
+        assert 0 < some.rdd.getNumPartitions() <= n_groups // 2, (
+            some.rdd.getNumPartitions(), n_groups
+        )
+        assert sorted(tuple(r) for r in some.collect()) == sorted(
+            r for r in rows if r[2] >= 560
+        )
+
+        # MERGE stays correct on the sorted layout (row-level scans never
+        # stats-skip; the commit re-deals replacement rows sorted)
+        upd = _df(spark, [("u7", "SEVEN", 1000), ("u999", "NEW", 1001)])
+        tableio.merge_by_url_iceberg(spark, ident, upd)
+        got = {r["url"]: r["ver"] for r in spark.table(ident).collect()}
+        assert got["u7"] == 1000 and got["u999"] == 1001 and len(got) == 65
+        hot = spark.table(ident).filter("ver >= 1000")
+        assert hot.count() == 2
+    finally:
+        spark.sql(f"DROP TABLE {ident}")
+
+    with pytest.raises(Exception, match="nope"):
+        spark.sql(
+            "CREATE TABLE mini.ns.t_bad (url STRING, ver BIGINT)"
+            " TBLPROPERTIES ('sort_by'='nope')"
+        )
+
+
 def test_snapshots_metadata_table(spark, mini_table):
     """r5 Iceberg `t.snapshots` analog: `t$snapshots` lists every retained
     snapshot with total rows, groups changed vs the previous snapshot
