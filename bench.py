@@ -71,12 +71,24 @@ def load_reference_timings(
         return {}
 
 
+# Per-entry cross-run ratio overrides. The local[8] scaling probe gets a
+# TIGHTER threshold (VERDICT r5 #2): the committed reference wall (from
+# the best-of-1 subprocess, 4789 docs/s) already sits ~25% below the
+# BASELINE.md healthy-window peak (~6400), so the throttled BENCH_r05
+# probe (2234 docs/s — 2.9x under the peak) was only 2.1x over the
+# reference and the default 3x let it ship flag-free. 2.0x on the probe
+# catches that dip while staying above the ~1.0-1.5x wobble the probe
+# shows inside healthy windows.
+REF_RATIO_OVERRIDES = {"extract_fused_local8": 2.0}
+
+
 def throttle_flags(
     timings: dict[str, float],
     spread: dict[str, float],
     reference: dict[str, float],
     spread_ratio: float = 2.0,
     ref_ratio: float = 3.0,
+    ref_ratio_overrides: dict[str, float] | None = None,
 ) -> list[str]:
     """Per-query throttle suspicion (VERDICT r4 #4). Two signals:
 
@@ -85,9 +97,13 @@ def throttle_flags(
     - cross-run: best > ``ref_ratio`` x the committed good-window reference
       (catches a whole-run throttle window where every sample is slow and
       the spread looks clean — the r4 driver artifact carried an 8x simhash
-      spike the spread-only heuristic missed).
+      spike the spread-only heuristic missed). Entries in
+      ``ref_ratio_overrides`` (default :data:`REF_RATIO_OVERRIDES`) use
+      their own ratio — the local8 scaling probe flags at 2x.
 
     Queries absent from the reference fall back to spread-only."""
+    if ref_ratio_overrides is None:
+        ref_ratio_overrides = REF_RATIO_OVERRIDES
     flagged = set()
     for name, best in timings.items():
         if best <= 0:
@@ -95,7 +111,8 @@ def throttle_flags(
         if spread.get(name, 0.0) / best > spread_ratio:
             flagged.add(name)
         ref = reference.get(name)
-        if ref is not None and ref > 0 and best > ref_ratio * ref:
+        ratio = ref_ratio_overrides.get(name, ref_ratio)
+        if ref is not None and ref > 0 and best > ratio * ref:
             flagged.add(name)
     return sorted(flagged)
 
@@ -226,8 +243,17 @@ def main() -> None:
         pass
 
     total = round(sum(timings.values()), 3)
+    # The scaling probe joins the FLAG computation but stays out of
+    # `timings`/total (ADVICE r2 #2: totals must stay round-comparable
+    # whether or not the subprocess succeeded). VERDICT r5 #2: BENCH_r05
+    # carried a 2.9x-low local8 probe flag-free because only headline
+    # queries were compared — now the probe's wall time is checked against
+    # its own good-window reference like any query.
+    flag_timings = dict(timings)
+    if local8_wall_sec is not None:
+        flag_timings["extract_fused_local8"] = local8_wall_sec
     throttled = throttle_flags(
-        timings, spread, load_reference_timings(sf=sf, cpus=CPUS)
+        flag_timings, spread, load_reference_timings(sf=sf, cpus=CPUS)
     )
     print(
         json.dumps(

@@ -30,6 +30,12 @@ def main() -> None:
             f"refusing: {src} itself flags throttling_suspected="
             f"{artifact['throttling_suspected']} — measure in a clean window"
         )
+    queries = dict(artifact["queries"])
+    # VERDICT r5 #2: the local8 scaling probe is part of the flag coverage;
+    # carry its good-window wall into the reference whenever the artifact
+    # has one, so a future throttled probe can't ship flag-free.
+    if artifact.get("extract_fused_local8_wall_sec") is not None:
+        queries["extract_fused_local8"] = artifact["extract_fused_local8_wall_sec"]
     payload = {
         "_comment": (
             "Per-query good-window reference for bench.py's throttle "
@@ -41,7 +47,7 @@ def main() -> None:
         "source": os.path.relpath(src, REPO),
         "sf": artifact.get("sf"),
         "cpus": artifact.get("cpus", "32"),
-        "queries": artifact["queries"],
+        "queries": queries,
     }
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump(payload, f, indent=2)

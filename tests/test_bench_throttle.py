@@ -44,6 +44,24 @@ def test_both_signals_union_and_sort():
     assert got == ["a", "b"]
 
 
+def test_throttled_local8_probe_is_flagged():
+    """VERDICT r5 #2 replayed: BENCH_r05's scaling probe ran at 2234
+    docs/s (wall 8.95 s on the 20k corpus) against the committed
+    good-window 4.176 s — 2.1x, under the default 3x, shipped flag-free.
+    The probe's 2.0x override must flag exactly that artifact."""
+    ref = bench.load_reference_timings()
+    assert "extract_fused_local8" in ref
+    timings = {"extract_fused": 1.69, "extract_fused_local8": 8.95}
+    spread = {"extract_fused": 0.1}
+    assert bench.throttle_flags(timings, spread, ref) == ["extract_fused_local8"]
+    # healthy-window probe (the committed r5 artifact itself): clean
+    assert bench.throttle_flags(
+        {"extract_fused_local8": 4.176}, {}, ref
+    ) == []
+    # honest wobble below 2x stays clean on the probe too
+    assert bench.throttle_flags({"extract_fused_local8": 7.5}, {}, ref) == []
+
+
 def test_missing_reference_file_degrades_gracefully(tmp_path):
     assert bench.load_reference_timings(str(tmp_path / "nope.json")) == {}
 
