@@ -625,6 +625,13 @@ def compact(
         # bucket files exclude the partition column (dir name carries it),
         # so a direct dir read/write round-trips the exact file schema
         df = spark.read.parquet(bdir)
+        # range layouts (r6): the rewrite must keep rows sorted so the
+        # compacted file's parquet row-group stats stay monotone (the
+        # within-file half of the skipping story); coalesce(1) alone
+        # would interleave the source files' row order
+        sort_col = _layout_sort_by(target_path)
+        if sort_col is not None and sort_col in df.columns:
+            df = df.coalesce(1).sortWithinPartitions(sort_col)
         tag = uuid.uuid4().hex[:8]
         safe = d.replace("bucket=", "bucket-", 1)
         tmp = os.path.join(target_path, f"_compact-{tag}-{safe}")

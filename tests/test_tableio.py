@@ -376,6 +376,39 @@ def test_sorted_layout_prunes_timestamp_ranges_on_natural_data(spark, tmp_path):
         tableio.merge_by_url(spark, path, upd)
 
 
+def test_compact_keeps_sorted_layout_order(spark, tmp_path):
+    """r6: compacting a range-layout bucket must rewrite it SORTED — the
+    within-file half of the skipping story (monotone parquet row-group
+    stats); a plain coalesce would interleave the source files' order."""
+    import os
+    from datetime import datetime, timedelta, timezone
+
+    from engine import tableio
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (f"u{i}", i, t0 + timedelta(minutes=45 * i), f"t{i}") for i in range(128)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, doc_id long, warc_ts timestamp, extracted_text string"
+    )
+    path = str(tmp_path / "sorted")
+    tableio.write_table_sorted(df, path, sort_col="warc_ts", n_buckets=4)
+    # split one bucket into two files (a second writer generation)
+    b0 = f"{path}/bucket=0"
+    part = [f for f in os.listdir(b0) if f.endswith(".parquet")][0]
+    extra = spark.read.parquet(f"{b0}/{part}")
+    head = extra.orderBy("warc_ts").limit(5)
+    head.write.mode("append").parquet(b0)
+    spark.catalog.refreshByPath(path)
+    assert tableio.compact(spark, path) == [0]
+    files = [f for f in os.listdir(b0) if f.endswith(".parquet")]
+    assert len(files) == 1
+    got = spark.read.parquet(b0).collect()
+    ts = [r["warc_ts"] for r in got]
+    assert ts == sorted(ts), "compacted bucket lost its sort order"
+
+
 def test_stats_widened_before_swap_survive_merge_crash(spark, tmp_path):
     """Review r5: the bucket swap and the exact stats refresh are not
     atomic. The merge widens recorded ranges to old ∪ incoming BEFORE any
