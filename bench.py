@@ -180,6 +180,9 @@ def main() -> None:
         "embedding_topk",
         "ann_ivf_topk",
         "ann_ivf_topk_trained",
+        "ann_ivf_topk_trained_hr",
+        "substring_dedup",
+        "url_blocklist_gate",
         "asof_join",
         "quality_score",
         "broadcast_rollup",
