@@ -2709,6 +2709,114 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN tal ON d.doc_id = tal.doc_id
 """
 
+# Winnowed substring dedup (r6) — the production knob substring_dedup's
+# docstring promises, implemented: instead of shipping one digest per
+# token position, each document selects the MIN-HASH gram of every W=4
+# consecutive gram hashes (robust winnowing, Schleimer et al. 2003 — the
+# MOSS fingerprinting algorithm). Selection is CONTENT-DEFINED (a local
+# hash minimum), so two copies of a repeated passage select the same
+# grams regardless of their absolute positions: any repeat of
+# >= K + W - 1 = 19 tokens contains a full window of W shared grams,
+# whose minimum is selected in BOTH copies — the winnowing guarantee,
+# alignment independence intact (pytest-pinned at three offsets).
+# Expected anchor density is 2/(W+1) = 40% of positions (pinned <60%),
+# and W is the corpus-operator's dial: digest volume scales ~1/W while
+# the minimum caught-repeat length grows only additively (K + W - 1).
+# Scale shape identical to substring_dedup: hashes and window minima are
+# all IN-ROW array expressions; only selected (digest, doc, pos) anchors
+# reach the ONE partial-agg keeper shuffle. Ties inside a window take
+# the leftmost minimum (array_position/list_position first-occurrence —
+# same rule both engines; md5 hex compares identically under both
+# engines' binary collation).
+_SQL_SUBSTR_WINNOW_SPARK = """
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+hs0 AS (
+  SELECT doc_id,
+         transform(sequence(0, size(toks) - 16),
+                   i -> md5(array_join(slice(toks, i + 1, 16), ' '))) AS h
+  FROM t WHERE size(toks) >= 16
+),
+-- no-op Generate between the hash build and the window scan: without it
+-- CollapseProject inlines the O(n) md5-transform into EVERY h reference
+-- inside the per-window lambda (3 per window -> O(n^2) md5 calls;
+-- measured 5.8s -> 1.8s at sf0.001 with the barrier)
+hs AS (
+  SELECT doc_id, h FROM hs0 LATERAL VIEW explode(array(1)) b AS one
+),
+-- leftmost window min via ONE slice + struct-min per window (struct
+-- ordering compares hash then position, so ties take the lowest p —
+-- exactly list_position's first-occurrence rule in the DuckDB twin;
+-- measured 4.6x faster than the slice-twice array_position form)
+sel AS (
+  SELECT doc_id, h,
+         array_distinct(transform(
+           sequence(0, greatest(size(h) - 4, 0)),
+           s -> array_min(transform(slice(h, s + 1, 4),
+                          (x, j) -> named_struct('v', x, 'p', s + j))).p
+         )) AS anchors
+  FROM hs
+),
+-- OUTER explode on purpose: the plain explode makes
+-- InferFiltersFromGenerate synthesize size(anchors)>0, and predicate
+-- pushdown drags the ENTIRE inlined anchors expression (the O(n) md5
+-- transform nested inside the window transform -> O(n^2) md5 per doc)
+-- down into the parquet scan's DataFilters — measured 25.7s vs 1.1s at
+-- sf0.001. anchors is never empty for docs that reach sel (>= 16 tokens
+-- -> >= 1 window -> >= 1 anchor), so OUTER is semantics-identical.
+g AS (
+  SELECT doc_id, pos, element_at(h, CAST(pos + 1 AS INT)) AS hash
+  FROM sel LATERAL VIEW OUTER explode(anchors) a AS pos
+),
+k AS (SELECT hash, min(named_struct('d', doc_id, 'p', pos)) AS keeper
+      FROM g GROUP BY hash),
+tal AS (SELECT g.doc_id,
+               count(*) AS n_anchors,
+               sum(CASE WHEN k.keeper.d = g.doc_id AND k.keeper.p = g.pos
+                   THEN 1 ELSE 0 END) AS n_novel
+        FROM g JOIN k ON g.hash = k.hash GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tal.n_anchors, 0) AS BIGINT) AS n_anchors,
+       CAST(coalesce(tal.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(round(coalesce(tal.n_novel * 1.0 / tal.n_anchors, 1.0), 4)
+            AS DOUBLE) AS novelty
+FROM documents d LEFT JOIN tal ON d.doc_id = tal.doc_id
+"""
+_SQL_SUBSTR_WINNOW_DUCK = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(range(0, len(toks) - 15),
+                        i -> md5(array_to_string(toks[i + 1 : i + 16], ' ')))
+           AS h
+  FROM t WHERE len(toks) >= 16
+),
+sel AS (
+  SELECT doc_id, h,
+         list_distinct(list_transform(
+           range(0, greatest(len(h) - 4, 0) + 1),
+           s -> s + list_position(h[s + 1 : s + 4],
+                                  list_aggregate(h[s + 1 : s + 4], 'min')) - 1
+         )) AS anchors
+  FROM hs
+),
+g AS (
+  SELECT doc_id, a.pos AS pos, h[a.pos + 1] AS hash
+  FROM sel, unnest(anchors) AS a(pos)
+),
+r AS (SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY hash ORDER BY doc_id, pos) AS rn
+      FROM g),
+tal AS (SELECT doc_id, count(*) AS n_anchors,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_novel
+        FROM r GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(tal.n_anchors, 0) AS BIGINT) AS n_anchors,
+       CAST(coalesce(tal.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(round(coalesce(tal.n_novel * 1.0 / tal.n_anchors, 1.0), 4)
+            AS DOUBLE) AS novelty
+FROM documents d LEFT JOIN tal ON d.doc_id = tal.doc_id
+"""
+
 # WAT outlink rollup (r6 VERDICT #2): the link-graph aggregation a crawl
 # user runs over WAT metadata. The Spark side is the REAL WAT path — the
 # deterministic page html goes through build_wat_payload (stdlib DOM walk
@@ -3423,6 +3531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
         "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
         "substring_dedup": _sql_query(_SQL_SUBSTR_DEDUP_SPARK, "documents"),
+        "substring_dedup_winnow": _sql_query(
+            _SQL_SUBSTR_WINNOW_SPARK, "documents"
+        ),
         "wat_outlink_rollup": _q_wat_outlinks,
         "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
         "url_canonical_dedup": _sql_query(_SQL_URL_CANON_SPARK, "documents"),
@@ -3533,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECON_DUCK,
         "paragraph_dedup": _SQL_PARA_DEDUP_DUCK,
         "substring_dedup": _SQL_SUBSTR_DEDUP_DUCK,
+        "substring_dedup_winnow": _SQL_SUBSTR_WINNOW_DUCK,
         "wat_outlink_rollup": _SQL_WAT_OUTLINKS_DUCK,
         "url_features": _SQL_URL_FEATURES_DUCK,
         "url_canonical_dedup": _SQL_URL_CANON_DUCK,

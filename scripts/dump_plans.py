@@ -230,6 +230,16 @@ def main() -> None:
         _plan(em.queries()["substring_dedup"](spark, args.sf), "simple"),
     ))
     sections.append((
+        "Winnowed substring dedup (substring_dedup_winnow, r6)",
+        "Robust winnowing: min-hash anchor per 4-gram window, all in-row "
+        "(one slice + struct-min per window behind a Generate barrier — "
+        "without it CollapseProject inlines the md5 transform into every "
+        "lambda reference); OUTER explode keeps InferFiltersFromGenerate "
+        "from pushing the anchors expression into the scan; shuffles "
+        "carry digests only, ~40% of the full gram stream.",
+        _plan(em.queries()["substring_dedup_winnow"](spark, args.sf), "simple"),
+    ))
+    sections.append((
         "WAT outlink rollup (wat_outlink_rollup, r6)",
         "The real WAT payload path: Arrow-batched DOM walk (mapInArrow) → "
         "from_json → in-row explode of the Links array → ONE partial-agg "

@@ -422,3 +422,22 @@ def test_substring_dedup_shuffles_digests_only_no_window(spark):
     for line in final.splitlines():
         if "hashpartitioning" in line:
             assert "text#" not in line and "toks#" not in line, line
+
+
+def test_winnowed_dedup_plan_no_window_no_pushed_anchor_filter(spark):
+    """r6: the winnowed variant keeps the same discipline — no Window,
+    digests-only shuffles — and, specifically, the anchors expression
+    must NOT be inlined into the parquet scan's DataFilters
+    (InferFiltersFromGenerate + pushdown did exactly that before the
+    OUTER explode: the O(n) md5 transform nested inside the window
+    transform ran per scan row, 25.7s vs 1.1s at sf0.001)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["substring_dedup_winnow"](spark, "/root/testdata/sf0.001")
+    final = _final_adaptive_plan(df)
+    assert "Window" not in final, final
+    for line in final.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line and "toks#" not in line, line
+        if "FileScan" in line:
+            assert "array_distinct" not in line, line

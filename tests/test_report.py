@@ -208,3 +208,44 @@ def test_substring_dedup_catches_offset_repeats_paragraph_dedup_misses(
     assert k1 <= n1 - 5 and k2 <= n2 - 5, sub
     assert sub[0][0] == sub[0][1]  # first occurrence owns its grams
     assert sub[3][0] == sub[3][1]  # unique control fully novel
+
+
+def test_winnowed_dedup_guarantee_and_density(spark, tmp_path):
+    """r6: substring_dedup_winnow selects the min-hash gram of every W=4
+    consecutive gram hashes (robust winnowing). Pins the two properties
+    that make it the production knob: (a) the winnowing GUARANTEE — a
+    repeated passage of >= K+W-1 = 19 tokens is caught at ANY alignment,
+    because selection is content-defined (both copies select the same
+    gram); (b) DENSITY — anchors are a strict minority of the full gram
+    stream (expected 2/(W+1) = 40%), which is the shuffle-volume saving
+    at corpus scale."""
+    import __spark_entry__ as em
+
+    passage = " ".join(f"p{i}" for i in range(19))  # exactly K+W-1 tokens
+    rows = [
+        (0, passage + " " + " ".join(f"a{i}" for i in range(6))),
+        (1, " ".join(f"b{i}" for i in range(8)) + " " + passage),   # offset 8
+        (2, " ".join(f"c{i}" for i in range(3)) + " " + passage),   # offset 3
+        (3, " ".join(f"u{i}" for i in range(40))),                  # control
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    win = {
+        r["doc_id"]: (r["n_anchors"], r["n_novel"])
+        for r in em.queries()["substring_dedup_winnow"](spark, sf).collect()
+    }
+    # guarantee: each repeat copy loses at least one anchor to doc 0
+    assert win[1][1] < win[1][0], win
+    assert win[2][1] < win[2][0], win
+    assert win[0][0] == win[0][1] and win[3][0] == win[3][1], win
+
+    # density vs the full gram stream on the control doc (40 tokens ->
+    # 25 grams; expected ~2/(W+1) selected, pinned below 60%)
+    full = {
+        r["doc_id"]: r["n_grams"]
+        for r in em.queries()["substring_dedup"](spark, sf).collect()
+    }
+    assert 0 < win[3][0] < 0.6 * full[3], (win[3][0], full[3])
