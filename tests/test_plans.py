@@ -171,6 +171,41 @@ def test_url_canonical_dedup_single_shuffle(spark):
     assert "Window" not in plan, plan
 
 
+def test_urlgate_engine_path_semantics_and_plan(spark):
+    """r6: engine.urlgate.gate_urls applies the oracled query's rule
+    semantics to REAL url strings (parse_url host/path, suffix matches
+    the apex, path prefix) via a broadcast LEFT ANTI join — corpus
+    streams, rules broadcast; unknown rule kinds fail loudly."""
+    import pytest as _pytest
+
+    from engine import urlgate
+
+    rows = [
+        (1, "https://tracker.example/p/1"),          # exact host
+        (2, "https://pixel.ads.example/p/2"),        # *.ads.example
+        (3, "https://ads.example/p/3"),              # suffix apex
+        (4, "https://ok.example/login/session/4"),   # path prefix
+        (5, "https://ok.example/p/5"),               # survives
+        (6, "HTTPS://Tracker.Example/p/6"),          # case-folded host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    rules = urlgate.rules_df(
+        spark,
+        [("host", "tracker.example"), ("host_suffix", "ads.example"),
+         ("path_prefix", "/login/")],
+    )
+    kept = urlgate.gate_urls(df, rules)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5]
+    assert kept.columns == ["doc_id", "url"]
+
+    plan = _plan(kept, "simple")
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+    with _pytest.raises(ValueError, match="unknown rule kinds"):
+        urlgate.rules_df(spark, [("regex", "x")])
+
+
 def test_url_blocklist_gate_broadcasts_rules_zero_corpus_shuffle(spark):
     """VERDICT r5 #3: the blocklist gate must broadcast the rule table
     against the streaming corpus — BroadcastNestedLoopJoin BuildRight
