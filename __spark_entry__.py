@@ -3367,6 +3367,38 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-12-01 00:00:00'
 """
 
+# q17-like (r6): small-quantity revenue — the classic CORRELATED SCALAR
+# AGGREGATE subquery (per-part 20%-of-average threshold). Catalyst
+# de-correlates it into a per-part aggregate joined back onto the fact
+# (plan-pinned: no per-row subquery execution, two scans of lineitem —
+# the textbook rewrite every warehouse engine performs for Q17).
+_SQL_TPCH_Q17 = """
+SELECT CAST(round(sum(l_extendedprice) / 7.0, 4) AS DOUBLE) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+# q19-like (r6): disjunctive brand/size/quantity predicates — the
+# OR-of-ANDs shape that exercises CNF conversion: the common p_size >= 1
+# and quantity-range conjuncts are extractable, and Catalyst pushes the
+# part-only disjunction to the part scan while the join stays an
+# equi-join (not a fallback NLJ) because l_partkey = p_partkey is common
+# to every branch.
+_SQL_TPCH_Q19 = """
+SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+           AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 45
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
 # q18-like: large orders — groupBy-HAVING feeding a semi join back onto the
 # fact (AQE picks broadcast when the qualifying set is small).
 _SQL_TPCH_Q18 = """
@@ -3569,6 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_exists": _sql_query(_SQL_TPCH_Q4, "orders", "lineitem"),
         "tpch_q6": _sql_query(_SQL_TPCH_Q6, "lineitem"),
         "tpch_q14_promo": _sql_query(_SQL_TPCH_Q14, "lineitem", "part"),
+        "tpch_q17_small_qty": _sql_query(_SQL_TPCH_Q17, "lineitem", "part"),
+        "tpch_q19_disjunctive": _sql_query(_SQL_TPCH_Q19, "lineitem", "part"),
         "tpch_q18_big_orders": _sql_query(_SQL_TPCH_Q18, "orders", "lineitem"),
         "tpch_q10_returns": _sql_query(
             _SQL_TPCH_Q10, "customer", "orders", "lineitem", "nation"
@@ -3679,6 +3713,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4_exists": _SQL_TPCH_Q4,
         "tpch_q6": _SQL_TPCH_Q6,
         "tpch_q14_promo": _SQL_TPCH_Q14,
+        "tpch_q17_small_qty": _SQL_TPCH_Q17,
+        "tpch_q19_disjunctive": _SQL_TPCH_Q19,
         "tpch_q18_big_orders": _SQL_TPCH_Q18_DUCK,
         "tpch_q10_returns": _SQL_TPCH_Q10,
         "tpch_q7_volume": _SQL_TPCH_Q7,

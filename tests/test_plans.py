@@ -225,6 +225,34 @@ def test_url_blocklist_gate_broadcasts_rules_zero_corpus_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
 
 
+def test_q17_correlated_scalar_subquery_decorrelates(spark):
+    """r6: the per-part 20%-of-average threshold (TPC-H Q17's correlated
+    scalar aggregate) must be DE-CORRELATED — a per-part aggregate joined
+    back onto the fact, never a per-row subquery execution."""
+    import __spark_entry__ as em
+
+    df = em.queries()["tpch_q17_small_qty"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "avg(l_quantity" in plan, plan          # the rewritten aggregate
+    assert plan.count("FileScan") == 3, plan        # lineitem x2 + part
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q19_disjunction_pushes_to_part_scan_keeps_equi_join(spark):
+    """r6: the OR-of-ANDs predicate — the part-only disjunction reaches
+    the part scan's PushedFilters (CNF extraction), and the join stays
+    the equi hash join on l_partkey (the common conjunct), not a
+    non-equi fallback."""
+    import __spark_entry__ as em
+
+    df = em.queries()["tpch_q19_disjunctive"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "Or(" in ln and "p_brand" in ln]
+    assert pushed, plan
+
+
 def test_q6_predicates_reach_the_scan(spark):
     """The scan-aggregate query's filters must appear in PushedFilters —
     the pushdown probe at fact-table scale."""
