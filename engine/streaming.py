@@ -306,8 +306,37 @@ def attribution_stream(
     ).outputMode("append").trigger(availableNow=True).start()
 
 
+def attribution_stream_outer(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    events_schema: T.StructType,
+    horizon: str = "30 minutes",
+):
+    """LEFT OUTER stream-stream join (r6): every click emits — matched
+    within ``horizon`` like :func:`attribution_stream`, or with NULL
+    purchase columns once the watermark PROVES no match can still arrive
+    (click state evicted at combined watermark > c_ts + horizon). That
+    deferred null emission is the semantic difference from a static left
+    join: a click near the head of the stream stays pending until later
+    data advances the watermark past its horizon — pinned in
+    test_streaming across AvailableNow passes. The unmatched-click feed
+    is the abandonment signal real attribution pipelines consume."""
+    ev = spark.readStream.schema(events_schema).parquet(events_dir)
+    return _attribution_join(
+        ev, ev, horizon, streaming=True, how="left_outer"
+    ).writeStream.format("parquet").option("path", out_dir).option(
+        "checkpointLocation", checkpoint_dir
+    ).outputMode("append").trigger(availableNow=True).start()
+
+
 def _attribution_join(
-    clicks_src: DataFrame, purchases_src: DataFrame, horizon: str, streaming: bool
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    horizon: str,
+    streaming: bool,
+    how: str = "inner",
 ) -> DataFrame:
     # watermarks require TIMESTAMP (tz-aware); the source parquet carries
     # naive timestamps — session tz is pinned UTC so the cast is exact
@@ -329,7 +358,7 @@ def _attribution_join(
         F.expr(
             f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {horizon}"
         ),
-        "inner",
+        how,
     ).select(
         "click_id",
         "purchase_id",

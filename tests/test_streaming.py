@@ -160,6 +160,83 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     assert len(got) >= 10  # the horizon actually captures conversions
 
 
+def test_stream_stream_left_outer_emits_nulls_on_eviction(spark, tmp_path):
+    """r6: the LEFT OUTER stream-stream join — a click with no purchase
+    in the horizon emits with NULL purchase columns, but only once the
+    combined watermark PROVES no match can still arrive (state
+    eviction); a click whose horizon is still open stays pending. This
+    deferred-null semantics is exactly what separates the streaming
+    outer join from a static left join."""
+    import datetime as dt
+
+    from engine.streaming import attribution_stream_outer
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    cp_dir = str(tmp_path / "cp")
+    os.makedirs(events_dir)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+    def write(rows, name):
+        # the file-stream source lists FILES flat (no recursion): stage the
+        # parquet dir aside and copy its single part file in as {name}.parquet
+        import glob
+        import shutil
+
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m), u, k, 0.0, "{}")
+             for i, m, u, k in rows],
+            schema,
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, f"{events_dir}/{name}.parquet")
+
+    # batch 0: u1 converts in-horizon; u2 never; u3 converts OUTSIDE 30m
+    write([(1, 0, 1, "click"), (2, 10, 1, "purchase"),
+           (3, 0, 2, "click"),
+           (4, 0, 3, "click"), (5, 60, 3, "purchase")], "b0")
+    src_schema = spark.read.parquet(f"{events_dir}/b0.parquet").schema
+    q = attribution_stream_outer(
+        spark, events_dir, out_dir, cp_dir, src_schema, horizon="30 minutes"
+    )
+    q.awaitTermination()
+    got0 = {r["click_id"]: r["purchase_id"]
+            for r in spark.read.parquet(out_dir).collect()}
+    assert got0.get(1) == 2          # in-horizon match emits immediately
+    assert 3 not in got0 and 4 not in got0  # horizons still open: pending
+
+    # far-future events push BOTH sides' watermarks past 00:30 + 30m (the
+    # combined watermark is the min of the sides, and each side's update
+    # lands at the END of the batch that saw the event) — then one more
+    # batch performs the eviction. Three pusher passes make the sequence
+    # deterministic: b1 advances the click side, b2 the purchase side,
+    # b3 runs a batch WITH the advanced combined watermark.
+    for name, rows2 in (
+        ("b1", [(9, 360, 9, "click")]),
+        ("b2", [(10, 370, 9, "purchase")]),
+        ("b3", [(11, 380, 11, "click"), (12, 381, 11, "purchase")]),
+    ):
+        write(rows2, name)
+        attribution_stream_outer(
+            spark, events_dir, out_dir, cp_dir, src_schema,
+            horizon="30 minutes",
+        ).awaitTermination()
+
+    rows = {r["click_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[1]["purchase_id"] == 2
+    # unmatched + out-of-horizon clicks evicted with NULLs
+    assert rows[3]["purchase_id"] is None and rows[3]["purchase_epoch"] is None
+    assert rows[4]["purchase_id"] is None
+    # the pusher click u9: its purchase (t+10m) matched — and no
+    # duplicate null row exists for a matched click
+    assert rows[9]["purchase_id"] == 10
+    assert len([r for r in spark.read.parquet(out_dir).collect()
+                if r["click_id"] == 1]) == 1
+
+
 def test_neardedup_stream_matches_batch_pairs(spark, tmp_path):
     """VERDICT r2 #5: two-batch incremental MinHash-LSH emits exactly the
     pairs the batch minhash_lsh_pairs query finds on the union corpus —
