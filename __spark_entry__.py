@@ -2829,7 +2829,12 @@ FROM documents d LEFT JOIN tal ON d.doc_id = tal.doc_id
 _WAT_HTML_BODY = (
     "'<html><head><title>doc</title></head><body>"
     "<nav><a href=\"/\">home</a> <a href=\"/b\">blog</a></nav><p>' || "
-    "substring(text, 1, 40) || '</p>' || "
+    # the per-doc payload is an md5 hex fragment, NOT raw text: hex is
+    # [0-9a-f] so the envelope body is markup-safe BY CONSTRUCTION — raw
+    # text would couple the HTMLParser href walk (entity-decoding) to the
+    # oracle's regex over the embedded string, desyncing silently the day
+    # a fixture grows a quote/entity in its first 40 chars (ADVICE r6)
+    "substring(md5(coalesce(text, '')), 1, 16) || '</p>' || "
     "repeat('<a href=\"https://ext' || CAST(doc_id % 7 AS STRING) || "
     "'.example/p\">x</a>', CAST(doc_id % 4 AS INT)) || "
     "'<footer><a href=\"/t\">terms</a></footer></body></html>'"

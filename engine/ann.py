@@ -161,22 +161,30 @@ def ivf_topk(
     its PARTITION column, so only probed lists' files are read (dynamic
     partition pruning — plan-pinned). Probe ranking uses the metric the
     index was built with (recorded in the centroids table)."""
-    cent = spark.read.parquet(f"{index_path}/centroids")
+    cent_src = spark.read.parquet(f"{index_path}/centroids")
+    # ONE driver read of the (nlists-row, driver-small by the same argument
+    # as the broadcast it feeds) centroids table serves both the metric
+    # guard and the probe's build side — the r5 guard's separate
+    # distinct().collect() job is folded in (VERDICT r6 #8).
+    cent_rows = cent_src.collect()
     # indexes legitimately outlive code versions (build once, probe many):
     # a pre-r5 centroids table has no metric column -> the dot_q default
-    if "metric" in cent.columns:
-        metric_rows = cent.selectExpr("metric").distinct().collect()
+    if cent_rows and "metric" in cent_rows[0].__fields__:
+        metrics = {r["metric"] for r in cent_rows}
         # a corrupt index carrying mixed metric values must fail loudly,
         # not probe with an arbitrarily chosen one (ADVICE r5)
-        if len(metric_rows) > 1:
+        if len(metrics) > 1:
             raise ValueError(
                 "corrupt IVF index: centroids table carries mixed metrics "
-                + str(sorted(r["metric"] for r in metric_rows))
+                + str(sorted(metrics))
             )
-        metric = metric_rows[0]["metric"] if metric_rows else "dot_q"
+        metric = next(iter(metrics)) if metrics else "dot_q"
     else:
         metric = "dot_q"
-    cent = cent.select("cid", "cq")
+    cent = spark.createDataFrame(
+        [(int(r["cid"]), [int(x) for x in r["cq"]]) for r in cent_rows],
+        "cid bigint, cq array<bigint>",
+    )
     q = _prep(queries)
     rank_expr = _probe_rank_expr(metric, "qv.q", "c.cq")
     probes = (

@@ -121,10 +121,16 @@ def main() -> None:
 
         # WAT derives from the RAW pages (the DOM walk needs html), so it
         # exports before resume filtering — metadata covers every input
-        # page of this invocation; distributed, one archive per partition
+        # page of this invocation; distributed, one archive per partition.
+        # Persist around the export (ADVICE r6): the export is a separate
+        # job before the main pipeline, and without the persist the raw
+        # source parse (jsonl/warc/wet resync) would run twice end-to-end.
+        pages = raw_pages_persisted = pages.persist()
         sources.write_pages_wat_distributed(
             pages.select("url", "warc_ts", "html"), args.wat_out
         ).collect()  # tiny manifest (one row per file): forces the write
+    else:
+        raw_pages_persisted = None
     if args.resume:
         pages = tableio.remaining(pages, args.out)
 
@@ -147,6 +153,9 @@ def main() -> None:
     # would run the whole extraction twice.
     staging = f"{args.out}.staging-{uuid.uuid4().hex[:8]}"
     tableio.write_table(extracted, staging)
+    if raw_pages_persisted is not None:
+        # last consumer of the raw pages lineage has materialized
+        raw_pages_persisted.unpersist()
     try:
         tableio.merge_by_url(spark, args.out, tableio.read_table(spark, staging))
     finally:

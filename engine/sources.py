@@ -24,10 +24,16 @@ def _record_id(url: str, warc_ts, kind: str = "") -> bytes:
     (driver vs distributed writer, export vs re-export) stay pinned —
     while the response/conversion/metadata records derived from the same
     page get distinct ids (``kind`` salts them; WAT's WARC-Refers-To
-    recomputes the response id from the same inputs)."""
+    recomputes the response id from the same inputs).
+
+    ``version=3`` stamps the RFC 4122 version/variant bits over the raw
+    md5 digest — exactly what ``uuid.uuid3`` does — so strict WARC/CDX
+    consumers see well-formed name-based UUIDs, not arbitrary 128-bit
+    values (ADVICE r6; golden archives regenerated for the byte change)."""
     ts = "" if warc_ts is None else warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     digest = hashlib.md5(f"{kind}\x00{url}\x00{ts}".encode()).digest()
-    return b"<urn:uuid:" + str(_uuid_mod.UUID(bytes=digest)).encode() + b">"
+    rid = _uuid_mod.UUID(bytes=digest, version=3)
+    return b"<urn:uuid:" + str(rid).encode() + b">"
 
 PAGES_JSONL_SCHEMA = T.StructType(
     [

@@ -29,6 +29,7 @@ calls route to real ``MERGE INTO`` SQL — the switch is config, not code
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -590,6 +591,16 @@ def _heal_swaps(target_path: str) -> None:
                 shutil.rmtree(full)  # swap completed: aside dir is garbage
             else:
                 os.rename(full, live)  # crashed between the two renames
+    # A crash BEFORE the swap loop leaves the staged '{target}.tmp-{tag}'
+    # SIBLING directory behind; nothing inside target_path points at it, so
+    # the in-dir scan above never collected it and repeated crashed merges
+    # would leak full copies of the dirty buckets (ADVICE r6). Once the
+    # aside dirs are resolved the old data is live everywhere, so any
+    # leftover staged copy is garbage — merge_by_url is idempotent and the
+    # caller simply re-merges. (Single-writer semantics, same as the swap
+    # itself: merge_by_url heals on entry, before creating its own tmp.)
+    for sib in glob.glob(f"{target_path}.tmp-*"):
+        shutil.rmtree(sib, ignore_errors=True)
 
 
 def compact(

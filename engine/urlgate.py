@@ -15,8 +15,8 @@ and a runtime rule table:
   table (thousands of rows at most) and each corpus partition streams
   through it in place — pinned in tests/test_plans.
 
-Reference analog: the confidence-gate role of F1 (main.py:61-66) applied
-at the URL level.
+Reference analog: the confidence-gate role of F1
+(text_detection_yolov8.py:199-202) applied at the URL level.
 """
 
 from __future__ import annotations
@@ -42,8 +42,15 @@ def gate_urls(df: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFram
     host = F.expr(f"lower(parse_url({url_col}, 'HOST'))")
     path = F.expr(f"coalesce(parse_url({url_col}, 'PATH'), '')")
     probe = df.withColumn("_g_host", host).withColumn("_g_path", path)
+    # Hosts are case-insensitive (RFC 3986) so host/host_suffix patterns
+    # fold to lowercase to match the lowered _g_host; URL *paths* are
+    # case-sensitive, so a path_prefix pattern must be kept verbatim —
+    # folding '/Admin/' to '/admin/' would silently never match.
     r = rules.select(
-        F.col("kind").alias("_g_kind"), F.lower("pattern").alias("_g_pat")
+        F.col("kind").alias("_g_kind"),
+        F.when(F.col("kind") == "path_prefix", F.col("pattern"))
+        .otherwise(F.lower("pattern"))
+        .alias("_g_pat"),
     )
     # SQL-expr condition: LIKE with a computed pattern needs the SQL form
     # (the Column.like API takes only literals)

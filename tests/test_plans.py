@@ -187,15 +187,22 @@ def test_urlgate_engine_path_semantics_and_plan(spark):
         (4, "https://ok.example/login/session/4"),   # path prefix
         (5, "https://ok.example/p/5"),               # survives
         (6, "HTTPS://Tracker.Example/p/6"),          # case-folded host
+        (7, "https://ok.example/Admin/panel/7"),     # case-SENSITIVE path
+        (8, "https://ok.example/admin/panel/8"),     # lowercase path survives
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     rules = urlgate.rules_df(
         spark,
-        [("host", "tracker.example"), ("host_suffix", "ads.example"),
-         ("path_prefix", "/login/")],
+        [("host", "Tracker.Example"),  # host patterns fold (RFC 3986)
+         ("host_suffix", "ads.example"),
+         ("path_prefix", "/login/"),
+         # ADVICE r6: path rules must be kept VERBATIM — URL paths are
+         # case-sensitive, so '/Admin/' blocks only '/Admin/…' and a prior
+         # bug folding it to '/admin/' would have never fired at all
+         ("path_prefix", "/Admin/")],
     )
     kept = urlgate.gate_urls(df, rules)
-    assert sorted(r["doc_id"] for r in kept.collect()) == [5]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5, 8]
     assert kept.columns == ["doc_id", "url"]
 
     plan = _plan(kept, "simple")

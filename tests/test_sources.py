@@ -496,6 +496,14 @@ def test_warc_and_wet_records_carry_deterministic_record_id(tmp_path):
         assert a == b  # deterministic: twins stay byte-identical
         m = re.search(rb"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>\r\n", a)
         assert m, a[:200]
+        # ADVICE r6: strict WARC/CDX consumers require WELL-FORMED UUIDs —
+        # the deterministic id must carry RFC 4122 v3 version/variant bits
+        # (uuid3 semantics), not a raw md5 digest dressed as a urn:uuid
+        import uuid as _uuid
+
+        rid = _uuid.UUID(m.group(1).decode())
+        assert rid.version == 3, rid
+        assert rid.variant == _uuid.RFC_4122, rid
         other = enc("https://rid.example/q", ts, payload, "en")
         assert m.group(1) not in other  # distinct per (url, ts)
 

@@ -561,3 +561,20 @@ def test_merge_crash_states_read_consistently_and_self_heal(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "_gc-0defaced-bucket-0"))
     got = table()
     assert ("u2", "newer", 3) in got and len(got) == len(before)
+
+    # crash state 3 (ADVICE r6): crashed BEFORE the swap loop — the staged
+    # '{target}.tmp-{tag}' SIBLING is left behind; it lives outside
+    # target_path so the in-dir heal never saw it and repeated crashed
+    # merges leaked full dirty-bucket copies. The next merge removes it.
+    stale = f"{path}.tmp-deadbeef"
+    shutil.copytree(path, stale)
+    before = table()
+    tableio.merge_by_url(
+        spark, path,
+        spark.createDataFrame(
+            [("u3", "newest", 4)], "url string, extracted_text string, ver long"
+        ),
+    )
+    assert not os.path.exists(stale)
+    got = table()
+    assert ("u3", "newest", 4) in got and len(got) == len(before)
