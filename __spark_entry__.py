@@ -3500,8 +3500,81 @@ GROUP BY r_name
 # registry
 # ---------------------------------------------------------------------------
 
+# Driver-gate rotation (VERDICT r6 #1): the driver's CORRECTNESS artifact
+# samples only the FIRST 50 registry entries in insertion order, so order
+# IS the evidence budget. Rounds 1-6 always led with the r1/r2 queries —
+# everything from `stratified_sample` on (all r3-r6 additions: the LLM
+# dedup/ANN/trained/media/TPC-H families) never produced a driver-gated
+# row. This list leads the registry with (a) this round's NEW queries and
+# (b) the never-gated back half, must-list first; everything not named
+# here follows in its original order. Keys and per-query semantics are
+# untouched — only insertion order rotates.
+_GATE_FRONT: tuple[str, ...] = (
+    # never driver-gated (r3-r6 additions), judge's must-list first
+    "substring_dedup",
+    "substring_dedup_winnow",
+    "wat_outlink_rollup",
+    "url_blocklist_gate",
+    "dsir_resample",
+    "ann_ivf_topk_trained_hr",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    # remaining never-gated names, original order
+    "stratified_sample",
+    "repetition_score",
+    "pii_scrub",
+    "doc_chunks",
+    "vocab_df",
+    "bpe_merge_round1",
+    "lm_bigram_nll",
+    "decontaminate",
+    "paragraph_dedup",
+    "url_features",
+    "url_canonical_dedup",
+    "domain_rollup",
+    "dup_ngram_ratio",
+    "sequence_pack",
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_frames_jvm",
+    "image_decode",
+    "image_decode_png",
+    "image_decode_png_adam7",
+    "image_decode_bmp",
+    "image_decode_gif",
+    "image_decode_jpeg",
+    "image_decode_jpeg_prog",
+    "audio_decode",
+    "image_resize_nn",
+    "image_decode_jvm",
+    "audio_decode_jvm",
+    "image_resize_jvm",
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5_like",
+    "tpch_q4_exists",
+    "tpch_q6",
+    "tpch_q14_promo",
+    "tpch_q18_big_orders",
+    "tpch_q10_returns",
+    "tpch_q7_volume",
+    "part_rollup",
+    "broadcast_rollup",
+)
+
+
+def _rotate(base: dict) -> dict:
+    front = [k for k in _GATE_FRONT if k in base]
+    missing = [k for k in _GATE_FRONT if k not in base]
+    if missing:  # a renamed query must fail loudly, not silently un-gate
+        raise KeyError(f"_GATE_FRONT names missing from registry: {missing}")
+    seen = set(front)
+    return {k: base[k] for k in front + [k for k in base if k not in seen]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotate({
         # extraction pipeline (SURVEY §2.8/§2.10, M1-M16 recast)
         "extract_roundtrip": _q_extract_roundtrip("fused"),
         "extract_roundtrip_staged": _q_extract_roundtrip("staged"),
@@ -3617,11 +3690,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "part_rollup": _sql_query(_SQL_PART_ROLLUP, "part"),
         "broadcast_rollup": _q_broadcast_rollup,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    # same rotation as queries() so the two registries stay order-aligned
+    return _rotate({
         "extract_roundtrip": _ORACLE_ROUNDTRIP,
         "extract_roundtrip_staged": _ORACLE_ROUNDTRIP,
         "extract_fallback": _ORACLE_FALLBACK,
@@ -3725,4 +3799,4 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7_volume": _SQL_TPCH_Q7,
         "part_rollup": _SQL_PART_ROLLUP,
         "broadcast_rollup": _SQL_BROADCAST_ROLLUP_DUCK,
-    }
+    })
