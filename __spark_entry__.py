@@ -2433,6 +2433,80 @@ SELECT * FROM (
 WHERE rank <= 20
 """
 
+
+# Corpus encode with the FROZEN 64-merge vocabulary (VERDICT r6 #6): the
+# step every pretraining pipeline actually runs — tokenize the whole
+# corpus with a trained merge table and roll up the token histogram.
+# Spark side: engine.bpe.encode_arrow (the Arrow-batched production
+# tokenizer; merges ship once in the task closure) + one partial-agg.
+# Oracle side: the SAME frozen merge list applied as a generated chain of
+# DuckDB list_reduce folds — each layer is the exact greedy left-to-right
+# accumulator the Spark/Python encoders use (out[-1]==a AND s==b merges
+# in place), so the two engines share both the MODEL and the FOLD RULE by
+# construction. The oracle encodes each DISTINCT word once (vocab-sized
+# recursion) and joins back to (doc_id, word) occurrences — word
+# boundaries are merge barriers, so the histogram is identical.
+def _duck_bpe_fold(expr: str, a: str, b: str) -> str:
+    """ONE list_reduce greedy-fold layer — the exact accumulator rule the
+    Spark/Python encoders use (out[-1]==a AND s==b merges in place)."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    qab = (a + b).replace("'", "''")
+    return (
+        f"list_reduce(list_transform({expr}, s -> [s]), "
+        f"(acc, x) -> CASE WHEN acc[-1] = '{qa}' AND x[1] = '{qb}' "
+        f"THEN list_append(acc[1:length(acc)-1], '{qab}') "
+        f"ELSE list_concat(acc, x) END)"
+    )
+
+
+def _sql_bpe_encode_duck() -> str:
+    from engine.bpe_vocab import MERGES
+
+    # one CTE per merge rank, NOT one nested expression per rank: DuckDB's
+    # binder caps expression depth at 128, a 64-layer nest exceeds it
+    layers = []
+    prev = "enc0"
+    for r, a, b, _ in sorted(MERGES):
+        layers.append(
+            f"enc{r} AS (SELECT w, {_duck_bpe_fold('toks', a, b)} AS toks"
+            f" FROM {prev})"
+        )
+        prev = f"enc{r}"
+    chain = ",\n".join(layers)
+    return f"""
+WITH w1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+w2 AS (SELECT doc_id, w FROM w1 WHERE w != ''),
+dw AS (SELECT DISTINCT w FROM w2),
+enc0 AS (SELECT w, regexp_extract_all(w, '.') AS toks FROM dw),
+{chain},
+tok AS (SELECT w2.doc_id, unnest({prev}.toks) AS token
+        FROM w2 JOIN {prev} USING (w))
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY token
+"""
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine import bpe as _bpe
+    from engine.bpe_vocab import MERGES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    enc = _bpe.encode_arrow(docs, MERGES)
+    return (
+        enc.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 # Bigram-LM quality scoring (r5): the CCNet-style perplexity filter — a
 # bigram language model with add-1 smoothing is "trained" (counted) on a
 # deterministic reference slice (doc_id % 7 = 0, the wiki-like corpus
@@ -3600,6 +3674,7 @@ GROUP BY r_name
 _GATE_FRONT: tuple[str, ...] = (
     # round-7 additions first — new queries gate immediately
     "domain_rank",
+    "bpe_encode_tokens",
     # never driver-gated (r3-r6 additions), judge's must-list first
     "substring_dedup",
     "substring_dedup_winnow",
@@ -3726,6 +3801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _sql_query(_SQL_DOC_CHUNKS_SPARK, "documents"),
         "vocab_df": _sql_query(_SQL_VOCAB_DF_SPARK, "documents"),
         "bpe_merge_round1": _sql_query(_SQL_BPE_R1_SPARK, "documents"),
+        "bpe_encode_tokens": _q_bpe_encode,
         "lm_bigram_nll": _sql_query(_SQL_LM_BIGRAM_SPARK, "documents"),
         "dsir_resample": _sql_query(_SQL_DSIR_SPARK, "documents", "embeddings"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
@@ -3843,6 +3919,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _SQL_DOC_CHUNKS_DUCK,
         "vocab_df": _SQL_VOCAB_DF_DUCK,
         "bpe_merge_round1": _SQL_BPE_R1_DUCK,
+        "bpe_encode_tokens": _sql_bpe_encode_duck(),
         "lm_bigram_nll": _SQL_LM_BIGRAM_DUCK,
         "dsir_resample": _SQL_DSIR_DUCK,
         "decontaminate": _SQL_DECON_DUCK,
