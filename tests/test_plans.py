@@ -232,6 +232,68 @@ def test_url_blocklist_gate_broadcasts_rules_zero_corpus_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
 
 
+def test_runtime_bloom_filter_prunes_corpus_side_of_probe_join(spark, tmp_path):
+    """VERDICT r6 #5: Spark's runtime bloom filter must inject a
+    might_contain predicate from the selective probe side (the
+    decontaminate/blocklist-survivor shape: a small filtered dim) into the
+    corpus side of a shuffle join — at 100 TB this is the difference
+    between shuffling every corpus row and shuffling only rows whose key
+    might match. The production thresholds (10 GB application-side scan)
+    are lowered here because the gate corpus is tiny; the PLAN SHAPE is
+    what carries over. Results must equal the bloom-disabled run (the
+    filter is a may-contain prune, never a semantic change)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # a selective filter over a parquet scan on the creation side is what
+    # InjectRuntimeFilter requires (plain createDataFrame won't trigger it)
+    docs.selectExpr(
+        "doc_id", "CAST(doc_id % 97 = 0 AS INT) AS contaminated"
+    ).write.parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # gate-scale corpus is far below the 10 GB production threshold
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # force the shuffle join the bloom filter exists for (a broadcast
+        # join would get DPP-style pruning instead)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def run():
+        dim = (
+            spark.read.parquet(str(tmp_path / "dim"))
+            .where("contaminated = 1")
+            .select("doc_id")
+        )
+        j = docs.select("doc_id", "lang").join(dim, "doc_id").groupBy(
+            "lang"
+        ).count()
+        return j, sorted(map(tuple, j.collect()))
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df, rows_bloom = run()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        # the runtime filter sits on the CORPUS branch, under the join,
+        # fed by a subquery over the dim side
+        assert "Subquery" in plan, plan
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        df_off, rows_plain = run()
+        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan_off, plan_off
+        assert rows_bloom == rows_plain and len(rows_bloom) > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_q17_correlated_scalar_subquery_decorrelates(spark):
     """r6: the per-part 20%-of-average threshold (TPC-H Q17's correlated
     scalar aggregate) must be DE-CORRELATED — a per-part aggregate joined
