@@ -95,7 +95,11 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces, ProcedureC
     }
     // validate eagerly so a bad version fails at analysis, not mid-scan
     MiniStore.groupsAt(key(ident), snap);
-    return new MiniTable(key(ident), ident.name(), e.schema, snap);
+    // r7: time travel reads with the schema in effect when the snapshot
+    // committed (the Iceberg snapshot schema-id analog) — a pre-evolution
+    // snapshot returns the OLD width and OLD names
+    return new MiniTable(
+        key(ident), ident.name(), MiniStore.schemaAt(key(ident), snap), snap);
   }
 
   @Override
@@ -118,25 +122,36 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces, ProcedureC
     return new MiniTable(key(ident), ident.name(), schema);
   }
 
-  /** Append-only schema evolution (r4): ADD COLUMN (top-level, nullable,
-   *  appended at the end — the common Iceberg evolution); anything else
-   *  stays unsupported. Pre-evolution rows read back null-padded. */
+  /** Schema evolution (r4, widened r7): ADD COLUMN (top-level, nullable,
+   *  appended at the end — the common Iceberg evolution) and RENAME COLUMN
+   *  (metadata-only: rows are positional, so the field ordinal is the
+   *  column-mapping id and no data moves); anything else stays
+   *  unsupported. Pre-evolution rows read back null-padded, and
+   *  pre-evolution SNAPSHOTS read back with their own schema. */
   @Override
   public Table alterTable(Identifier ident, TableChange... changes) {
     for (TableChange c : changes) {
-      if (!(c instanceof TableChange.AddColumn)) {
+      if (c instanceof TableChange.AddColumn) {
+        TableChange.AddColumn add = (TableChange.AddColumn) c;
+        if (add.fieldNames().length != 1) {
+          throw new UnsupportedOperationException("MiniCatalog: nested columns unsupported");
+        }
+        if (add.position() != null) {
+          throw new UnsupportedOperationException(
+              "MiniCatalog: positioned ADD COLUMN unsupported (append-only)");
+        }
+        MiniStore.addColumn(key(ident), add.fieldNames()[0], add.dataType());
+      } else if (c instanceof TableChange.RenameColumn) {
+        TableChange.RenameColumn ren = (TableChange.RenameColumn) c;
+        if (ren.fieldNames().length != 1) {
+          throw new UnsupportedOperationException("MiniCatalog: nested columns unsupported");
+        }
+        MiniStore.renameColumn(key(ident), ren.fieldNames()[0], ren.newName());
+      } else {
         throw new UnsupportedOperationException(
-            "MiniCatalog: only ADD COLUMN is supported, got " + c.getClass().getSimpleName());
+            "MiniCatalog: only ADD/RENAME COLUMN are supported, got "
+                + c.getClass().getSimpleName());
       }
-      TableChange.AddColumn add = (TableChange.AddColumn) c;
-      if (add.fieldNames().length != 1) {
-        throw new UnsupportedOperationException("MiniCatalog: nested columns unsupported");
-      }
-      if (add.position() != null) {
-        throw new UnsupportedOperationException(
-            "MiniCatalog: positioned ADD COLUMN unsupported (append-only)");
-      }
-      MiniStore.addColumn(key(ident), add.fieldNames()[0], add.dataType());
     }
     return new MiniTable(key(ident), ident.name(), MiniStore.schemaOf(key(ident)));
   }

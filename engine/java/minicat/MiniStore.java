@@ -52,6 +52,11 @@ public final class MiniStore {
     // per-snapshot manifest stats (r5): VERSION AS OF reads skip with the
     // stats that described THAT snapshot's groups, never the current ones
     final TreeMap<Long, Object[][]> snapshotStats = new TreeMap<>();
+    // per-snapshot SCHEMA (r7): the Iceberg schema-id analog — a snapshot
+    // committed before an ALTER TABLE reads back with the schema in
+    // effect WHEN IT COMMITTED (old width, old names), never the current
+    // one. ALTERs touch only future commits' recorded schemas.
+    final TreeMap<Long, StructType> snapshotSchemas = new TreeMap<>();
 
     Entry(StructType schema, int sortOrdinal) {
       this.schema = schema;
@@ -62,6 +67,7 @@ public final class MiniStore {
       }
       snapshots.put(0L, new ArrayList<>(groups));
       snapshotStats.put(0L, new Object[NUM_GROUPS][]);
+      snapshotSchemas.put(0L, schema);
     }
   }
 
@@ -137,10 +143,43 @@ public final class MiniStore {
     }
   }
 
+  /** Metadata-only RENAME COLUMN (r7): rows are positional, so the field
+   *  ORDINAL is the column-mapping id (Iceberg's field-id analog) — the
+   *  stored rows, manifest stats, sort ordinal, and group hashing are all
+   *  untouched; only the schema's name at that position changes. */
+  static StructType renameColumn(String key, String from, String to) {
+    Entry e = require(key);
+    synchronized (e) {
+      java.util.List<String> names = java.util.Arrays.asList(e.schema.fieldNames());
+      if (!names.contains(from)) {
+        throw new IllegalArgumentException("no such column: " + from);
+      }
+      if (names.contains(to)) {
+        throw new IllegalArgumentException("column exists: " + to);
+      }
+      org.apache.spark.sql.types.StructField[] fs = e.schema.fields().clone();
+      int i = e.schema.fieldIndex(from);
+      fs[i] = new org.apache.spark.sql.types.StructField(
+          to, fs[i].dataType(), fs[i].nullable(), fs[i].metadata());
+      e.schema = new StructType(fs);
+      return e.schema;
+    }
+  }
+
   static StructType schemaOf(String key) {
     Entry e = require(key);
     synchronized (e) {
       return e.schema;
+    }
+  }
+
+  /** Schema in effect when snapshot {@code snap} committed (r7). */
+  static StructType schemaAt(String key, long snap) {
+    Entry e = require(key);
+    synchronized (e) {
+      StructType s = e.snapshotSchemas.get(snap);
+      // pre-r7 restores may lack an entry: fall back to the current schema
+      return s == null ? e.schema : s;
     }
   }
 
@@ -187,6 +226,7 @@ public final class MiniStore {
         }
       }
       e.snapshotStats.headMap(cutoff).clear();
+      e.snapshotSchemas.headMap(cutoff).clear();
       return n;
     }
   }
@@ -229,6 +269,7 @@ public final class MiniStore {
     e.commitSeq++;
     e.snapshots.put(e.commitSeq, new ArrayList<>(e.groups));
     e.snapshotStats.put(e.commitSeq, statsSnapshot(e));
+    e.snapshotSchemas.put(e.commitSeq, e.schema);
   }
 
   private static Object[][] statsSnapshot(Entry e) {
