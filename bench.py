@@ -186,6 +186,9 @@ def main() -> None:
         "asof_join",
         "quality_score",
         "broadcast_rollup",
+        # r7 additions
+        "domain_rank",
+        "bpe_encode_tokens",
     ):
         q_runs = []
         for _ in range(2):

@@ -510,3 +510,45 @@ def incremental_ingest_wat(
     )
     query.awaitTermination()
     return query
+
+
+def incremental_host_edges(
+    spark: SparkSession,
+    wat_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental WAT link-graph ingest (r7): the streaming twin of
+    ``watgraph.host_edges``. Each AvailableNow pass reduces ONLY the newly
+    arrived ``.warc.wat.gz`` archives to host-edge DELTA counts and appends
+    them to the sink (foreachBatch: a per-micro-batch partial-agg — edge
+    weights are additive, so ``watgraph.fold_edge_deltas`` over the sink
+    equals the batch ``host_edges`` over every archive ever ingested,
+    pinned in tests/test_streaming). Feeding ``watgraph.domain_rank`` the
+    folded table gives an always-current crawl rank without ever
+    re-parsing old archives."""
+    from engine import watgraph
+    from engine.sources import WAT_PAGES_SCHEMA, wat_parse_batches
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .load(f"{wat_dir}/*.wat.gz")
+        .select("path", "content")
+    )
+    meta = files.mapInPandas(wat_parse_batches, schema=WAT_PAGES_SCHEMA)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        watgraph.host_edges(batch_df).write.mode("append").parquet(out_dir)
+
+    query = (
+        meta.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -68,6 +68,15 @@ def host_edges(pages_wat: DataFrame) -> DataFrame:
     )
 
 
+def fold_edge_deltas(deltas: DataFrame) -> DataFrame:
+    """Re-aggregate appended per-micro-batch edge deltas into the current
+    host graph. Edge weights are ADDITIVE counts, so ``sum(w)`` over the
+    delta sink equals :func:`host_edges` over every archive ever ingested
+    — the property the streaming twin (engine.streaming.
+    incremental_host_edges) is pinned against."""
+    return deltas.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """(host, n_in, n_out) — distinct-neighbor degrees from the host-level
     edge table; two partial-aggs over |edges| rows, joined on host."""

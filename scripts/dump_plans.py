@@ -332,6 +332,115 @@ def main() -> None:
         ))
         spark.sql(f"DROP TABLE {ident}")
 
+    # --- r7 sections (VERDICT r6 #3/#4/#5/#6) ---
+
+    sections.append((
+        "domain_rank: WAT host-graph damped rank, K=3 unrolled (r7)",
+        "The only corpus-scale work is ONE edge partial-agg off the WAT "
+        "payload pass (MapInPandas -> from_json/explode -> partial "
+        "HashAggregate); all three rank iterations join/aggregate over the "
+        "host-level aggregate (|hosts| rows). The scalar (SELECT n) "
+        "subqueries are the node count — no cartesian/BNLJ anywhere.",
+        _plan(em.queries()["domain_rank"](spark, args.sf), "simple"),
+    ))
+
+    from engine import substrdedup, watgraph
+    from engine.session import release_local_checkpoint
+
+    docs = spark.read.parquet(f"{args.sf}/documents.parquet")
+    sections.append((
+        "substring dedup, materialize-first twin: the ONE text scan (r7)",
+        "engine/substrdedup.combined_stream — the corpus is tokenized and "
+        "md5-hashed in exactly one FileScan (the oracled CTE form scans "
+        "text twice via CTE inlining; PLANS r6 showed 3 FileScans). Gram "
+        "text never leaves the row.",
+        _plan(substrdedup.combined_stream(docs), "simple"),
+    ))
+    nov, nov_ids = substrdedup.novelty(docs)
+    sections.append((
+        "substring dedup, materialize-first twin: derived tally (r7)",
+        "Everything downstream reads the checkpointed stream (Scan "
+        "ExistingRDD x2, zero parquet re-scans): keeper min(struct) "
+        "partial-agg on digests, keeper-per-doc count (one row per "
+        "DISTINCT digest — the oracled form's second digest-wide g-join-k "
+        "shuffle is gone), per-doc base from the pos IS NULL OR pos = 0 "
+        "rows.",
+        _plan(nov, "simple"),
+    ))
+    release_local_checkpoint(spark, nov_ids)
+
+    edges = (
+        spark.createDataFrame(
+            [("a.x", "b.x", 2.0), ("b.x", "c.x", 1.0)],
+            "src string, dst string, w double",
+        )
+    )
+    ranks, rank_ids = watgraph.domain_rank(edges, k=5)
+    sections.append((
+        "engine/watgraph.domain_rank: per-round lineage cut (r7)",
+        "The arbitrary-K production twin checkpoints each round and "
+        "releases the previous one — the final plan reads its checkpoint "
+        "(Scan ExistingRDD, no Join), independent of K; executor memory "
+        "holds at most two (host, double) rank tables.",
+        _plan(ranks, "simple"),
+    ))
+    release_local_checkpoint(spark, rank_ids)
+
+    # runtime bloom-filter injection (thresholds lowered to gate scale)
+    bloom_dim = "/tmp/plans_bloom_dim.parquet"
+    if not os.path.exists(bloom_dim):
+        docs.selectExpr(
+            "doc_id", "CAST(doc_id % 97 = 0 AS INT) AS contaminated"
+        ).write.parquet(bloom_dim)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dim = (
+            spark.read.parquet(bloom_dim)
+            .where("contaminated = 1")
+            .select("doc_id")
+        )
+        bloom_df = (
+            docs.select("doc_id", "lang").join(dim, "doc_id")
+            .groupBy("lang").count()
+        )
+        sections.append((
+            "Runtime bloom-filter scan pruning (r7)",
+            "InjectRuntimeFilter places might_contain(subquery over the "
+            "selective probe side) on the CORPUS branch of the shuffle "
+            "join — rows whose key cannot match never reach the Exchange. "
+            "Thresholds lowered to gate scale (production default: 10 GB "
+            "application side); results pinned equal to the unfiltered "
+            "run in tests/test_plans.py.",
+            _plan(bloom_df, "simple"),
+        ))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    sections.append((
+        "bpe_encode_tokens: frozen-vocab corpus encode (r7)",
+        "One Arrow pass (MapInPandas carries the 64 frozen merges in the "
+        "task closure) then explode + ONE partial-agg histogram shuffle — "
+        "the tokenizer itself never shuffles.",
+        _plan(em.queries()["bpe_encode_tokens"](spark, args.sf), "simple"),
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)",
         "",

@@ -540,3 +540,63 @@ def test_incremental_wat_ingest_matches_batch(spark, tmp_path):
         for r in sources.read_pages_wat(spark, wat_dir).collect()
     }
     assert got == batch and len(got) == 9
+
+
+def test_incremental_host_edges_folds_to_batch_graph(spark, tmp_path):
+    """r7: the streaming link-graph twin — per-micro-batch edge DELTAS
+    appended by incremental_host_edges, folded by watgraph.fold_edge_deltas,
+    must equal the one-shot batch host_edges over all archives ever
+    ingested (edge weights are additive counts), and domain_rank over the
+    folded table equals the batch rank."""
+    import gzip
+    import os
+    from datetime import datetime
+
+    from engine import sources, watgraph
+    from engine.session import release_local_checkpoint
+    from engine.streaming import incremental_host_edges
+
+    wat_dir = str(tmp_path / "wat")
+    out_dir = str(tmp_path / "edges")
+    cp_dir = str(tmp_path / "cp")
+    ts = datetime(2026, 5, 1)
+    rows1 = [
+        ("https://a.example/1", ts,
+         b'<html><a href="https://b.example/x">b</a>'
+         b'<a href="https://b.example/y">b</a></html>'),
+        ("https://b.example/2", ts,
+         b'<html><a href="https://c.example/z">c</a></html>'),
+    ]
+    rows2 = [
+        ("https://a.example/3", ts,
+         b'<html><a href="https://b.example/w">b again</a></html>'),
+        ("https://c.example/4", ts,
+         b'<html><a href="https://a.example/back">a</a></html>'),
+    ]
+    sources.write_pages_wat(rows1, wat_dir)
+    incremental_host_edges(spark, wat_dir, out_dir, cp_dir)
+    blob = b"".join(
+        gzip.compress(
+            sources.encode_wat_record(
+                u, t, sources.build_wat_payload(u, t, h)
+            )
+        )
+        for u, t, h in rows2
+    )
+    with open(os.path.join(wat_dir, "part-late.warc.wat.gz"), "wb") as f:
+        f.write(blob)
+    incremental_host_edges(spark, wat_dir, out_dir, cp_dir)
+
+    folded = watgraph.fold_edge_deltas(spark.read.parquet(out_dir))
+    got = sorted(map(tuple, folded.collect()))
+    batch = watgraph.host_edges(sources.read_pages_wat(spark, wat_dir))
+    assert got == sorted(map(tuple, batch.collect()))
+    # a.example -> b.example accumulated ACROSS batches: 2 + 1
+    assert ("a.example", "b.example", 3.0) in got
+
+    r_inc, ids1 = watgraph.domain_rank(folded, k=3)
+    r_bat, ids2 = watgraph.domain_rank(batch, k=3)
+    assert sorted(map(tuple, r_inc.collect())) == sorted(
+        map(tuple, r_bat.collect())
+    )
+    release_local_checkpoint(spark, ids1 + ids2)
