@@ -3623,6 +3623,60 @@ GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
 # BIGINT normalizes Spark's INT vs DuckDB's BIGINT — one shared text.
 
 # part-dimension rollup (brand/type pricing stats)
+# q13: customer order-count distribution — LEFT OUTER join + two-level
+# aggregation (the re-aggregation-of-an-aggregate pattern); count-only, so
+# cross-engine exact. Identical SQL text both engines.
+_SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+
+# q15: top supplier by period revenue — a derived aggregate referenced
+# twice (the revenue view) with a scalar max subquery selecting the
+# winner(s). Revenue is EXACT integer cents x discount-complement-percent
+# (prices/discounts are 2-decimal by construction, so round(x*100) is an
+# exact BIGINT): float summation order can never flip the max-equality
+# row set between engines — the l2_q/LSH-band exactness trick.
+_SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS total_c2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_c2
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_c2 = (SELECT max(total_c2) FROM revenue)
+"""
+
+# q22: wealthy customers with no RECENT orders (every fixture customer
+# has SOME order, so the anti-join probes a date-windowed subset — ~5%
+# qualify at every SF) — scalar-aggregate threshold + NOT EXISTS
+# anti-join. The above-average test is exact by integer
+# cross-multiplication (bal_cents * n > sum_cents avoids the float-avg
+# boundary), grouped by nation (the slimmed schema has no c_phone).
+_SQL_TPCH_Q22 = """
+WITH pos AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+             FROM customer WHERE c_acctbal > 0),
+stats AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n FROM pos)
+SELECT c_nationkey AS cntry,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(round(sum(c_acctbal), 4) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM stats)
+        > (SELECT s FROM stats)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
 _SQL_PART_ROLLUP = """
 SELECT p_brand,
        CAST(count(*) AS BIGINT) AS n_parts,
@@ -3675,6 +3729,9 @@ _GATE_FRONT: tuple[str, ...] = (
     # round-7 additions first — new queries gate immediately
     "domain_rank",
     "bpe_encode_tokens",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q22_no_orders",
     # never driver-gated (r3-r6 additions), judge's must-list first
     "substring_dedup",
     "substring_dedup_winnow",
@@ -3849,6 +3906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty": _sql_query(_SQL_TPCH_Q17, "lineitem", "part"),
         "tpch_q19_disjunctive": _sql_query(_SQL_TPCH_Q19, "lineitem", "part"),
         "tpch_q18_big_orders": _sql_query(_SQL_TPCH_Q18, "orders", "lineitem"),
+        "tpch_q13_custdist": _sql_query(_SQL_TPCH_Q13, "customer", "orders"),
+        "tpch_q15_top_supplier": _sql_query(
+            _SQL_TPCH_Q15, "lineitem", "supplier"
+        ),
+        "tpch_q22_no_orders": _sql_query(_SQL_TPCH_Q22, "customer", "orders"),
         "tpch_q10_returns": _sql_query(
             _SQL_TPCH_Q10, "customer", "orders", "lineitem", "nation"
         ),
@@ -3964,6 +4026,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17_small_qty": _SQL_TPCH_Q17,
         "tpch_q19_disjunctive": _SQL_TPCH_Q19,
         "tpch_q18_big_orders": _SQL_TPCH_Q18_DUCK,
+        "tpch_q13_custdist": _SQL_TPCH_Q13,
+        "tpch_q15_top_supplier": _SQL_TPCH_Q15,
+        "tpch_q22_no_orders": _SQL_TPCH_Q22,
         "tpch_q10_returns": _SQL_TPCH_Q10,
         "tpch_q7_volume": _SQL_TPCH_Q7,
         "part_rollup": _SQL_PART_ROLLUP,

@@ -232,6 +232,27 @@ def test_url_blocklist_gate_broadcasts_rules_zero_corpus_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
 
 
+def test_q22_antijoin_and_q15_scalar_max_plan_shapes(spark):
+    """r7 TPC-H additions: q22's NOT EXISTS over the date-windowed order
+    subset must plan as a LeftAnti join with the date predicate PUSHED to
+    the orders scan (never a per-row subquery), and q15's top-supplier
+    selection must be a scalar subquery over the derived revenue
+    aggregate joined back (no cartesian, no window)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    q22 = em.queries()["tpch_q22_no_orders"](spark, sf)
+    p22 = _plan(q22, "simple")
+    assert "LeftAnti" in p22, p22
+    assert "GreaterThanOrEqual(o_orderdate" in p22, p22  # pushed to the scan
+    assert "CartesianProduct" not in p22 and "Window" not in p22, p22
+
+    q15 = em.queries()["tpch_q15_top_supplier"](spark, sf)
+    p15 = _plan(q15, "simple")
+    assert "Subquery" in p15 or "subquery" in p15, p15
+    assert "CartesianProduct" not in p15 and "Window" not in p15, p15
+
+
 def test_runtime_bloom_filter_prunes_corpus_side_of_probe_join(spark, tmp_path):
     """VERDICT r6 #5: Spark's runtime bloom filter must inject a
     might_contain predicate from the selective probe side (the
