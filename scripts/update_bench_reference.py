@@ -20,21 +20,43 @@ OUT = os.path.join(REPO, "BENCH", "reference_timings.json")
 
 
 def main() -> None:
-    if len(sys.argv) != 2:
+    if len(sys.argv) < 2:
         sys.exit(__doc__)
     src = sys.argv[1]
+    merge_only = sys.argv[3:] if len(sys.argv) > 3 and sys.argv[2] == "--merge" else None
     with open(src, encoding="utf-8") as f:
         artifact = json.load(f)
-    if artifact.get("throttling_suspected"):
-        sys.exit(
-            f"refusing: {src} itself flags throttling_suspected="
-            f"{artifact['throttling_suspected']} — measure in a clean window"
-        )
-    queries = dict(artifact["queries"])
+    flagged = set(artifact.get("throttling_suspected") or [])
+    if merge_only is None:
+        if flagged:
+            sys.exit(
+                f"refusing: {src} itself flags throttling_suspected="
+                f"{sorted(flagged)} — measure in a clean window"
+            )
+        queries = dict(artifact["queries"])
+    else:
+        # Per-query merge (r7): the host stalls intermittently for single
+        # reps even inside otherwise-healthy windows, so a 20-query
+        # artifact is rarely flag-free end to end. Merging ONLY named
+        # queries that the source artifact did NOT flag keeps the honesty
+        # property per entry — each reference number still comes from a
+        # window where THAT query measured clean — while letting new
+        # queries gain throttle coverage without waiting for a perfect
+        # all-20 run (the r6 'new queries ship flag-free' hole).
+        bad = sorted(set(merge_only) & flagged)
+        if bad:
+            sys.exit(f"refusing --merge: {bad} are flagged in {src}")
+        missing = sorted(set(merge_only) - set(artifact["queries"]))
+        if missing:
+            sys.exit(f"refusing --merge: {missing} not in {src}")
+        with open(OUT, encoding="utf-8") as f:
+            queries = json.load(f)["queries"]
+        for name in merge_only:
+            queries[name] = artifact["queries"][name]
     # VERDICT r5 #2: the local8 scaling probe is part of the flag coverage;
     # carry its good-window wall into the reference whenever the artifact
     # has one, so a future throttled probe can't ship flag-free.
-    if artifact.get("extract_fused_local8_wall_sec") is not None:
+    if merge_only is None and artifact.get("extract_fused_local8_wall_sec") is not None:
         queries["extract_fused_local8"] = artifact["extract_fused_local8_wall_sec"]
     payload = {
         "_comment": (
@@ -44,14 +66,17 @@ def main() -> None:
             "scripts/update_bench_reference.py when code changes move a "
             "query's honest cost."
         ),
-        "source": os.path.relpath(src, REPO),
+        "source": os.path.relpath(src, REPO)
+        if merge_only is None
+        else json.load(open(OUT, encoding="utf-8")).get("source", "")
+        + f" + merge[{','.join(merge_only)}]:{os.path.relpath(src, REPO)}",
         "sf": artifact.get("sf"),
         "cpus": artifact.get("cpus", "32"),
         "queries": queries,
     }
     with open(OUT, "w", encoding="utf-8") as f:
         json.dump(payload, f, indent=2)
-    print(f"wrote {OUT} from {src} ({len(artifact['queries'])} queries)")
+    print(f"wrote {OUT} from {src} ({len(queries)} queries)")
 
 
 if __name__ == "__main__":

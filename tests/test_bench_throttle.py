@@ -83,3 +83,31 @@ def test_reference_is_scoped_to_its_sf_and_cpus(tmp_path):
     # committed reference carries its scope
     ref = json.load(open(bench.REFERENCE_TIMINGS_PATH))
     assert ref.get("sf") and ref.get("cpus")
+
+
+def test_reference_merge_refuses_flagged_queries(tmp_path):
+    """r7: the per-query --merge path must refuse a query the source
+    artifact itself flagged (each reference entry must come from a window
+    where THAT query measured clean)."""
+    import json
+    import subprocess
+    import sys
+
+    src = tmp_path / "art.json"
+    src.write_text(json.dumps({
+        "queries": {"q_ok": 1.0, "q_bad": 9.0},
+        "throttling_suspected": ["q_bad"],
+        "sf": "0.1", "cpus": "32",
+    }))
+    out = subprocess.run(
+        [sys.executable, "scripts/update_bench_reference.py",
+         str(src), "--merge", "q_bad"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode != 0 and "q_bad" in (out.stdout + out.stderr)
+    out2 = subprocess.run(
+        [sys.executable, "scripts/update_bench_reference.py",
+         str(src), "--merge", "nope"],
+        capture_output=True, text=True,
+    )
+    assert out2.returncode != 0 and "nope" in (out2.stdout + out2.stderr)
