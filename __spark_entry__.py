@@ -1462,6 +1462,47 @@ _EMB_CLUSTER_SPARK = _emb_cluster_body("spark")
 _EMB_CLUSTER_DUCK = _emb_cluster_body("duck")
 
 
+# Semantic dedup (SemDeDup, Abbas et al. 2023 — r7): embedding-level
+# near-duplicate pruning scoped WITHIN frozen-codebook clusters. The
+# corpus-wide all-pairs matrix is quadratic; SemDeDup's point is that
+# near-duplicates share a cluster, so the pairwise cosine runs per
+# cluster (bounded partitions — at 100 TB each cluster's members fit a
+# task, and the assignment itself is the zero-Exchange in-row argmin).
+# Keep rule: deterministic keep-first — a vector is dropped iff some
+# LOWER-id vector in its cluster has cosine >= tau (the per-pair
+# approximation of SemDeDup's drop-all-but-one; same threshold recipe as
+# embedding_near_dup, float cosine with round(4) output).
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_sql(dialect: str) -> str:
+    assign = _emb_cluster_body(dialect)
+    if dialect == "spark":
+        v = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        dot = ("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), "
+               "CAST(0 AS DOUBLE), (s, p) -> s + p)")
+        nrm = ("sqrt(aggregate(transform(v, p -> p * p), "
+               "CAST(0 AS DOUBLE), (s, p) -> s + p))")
+    else:
+        v = "embedding::DOUBLE[]"
+        dot = "list_dot_product(x.v, y.v)"
+        nrm = "sqrt(list_dot_product(v, v))"
+    return f"""
+WITH a AS ({assign}),
+n AS (SELECT vec_id, v, {nrm} AS nrm
+      FROM (SELECT vec_id, {v} AS v FROM embeddings) e),
+j AS (SELECT a.vec_id, a.cluster_id, n.v, n.nrm
+      FROM a JOIN n ON a.vec_id = n.vec_id),
+drops AS (SELECT DISTINCT x.vec_id
+          FROM j x JOIN j y
+            ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+          WHERE {dot} / (x.nrm * y.nrm) >= {_SEMDEDUP_TAU})
+SELECT j.vec_id, j.cluster_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM j LEFT JOIN drops d ON j.vec_id = d.vec_id
+"""
+
+
 # Temperature-smoothed mixture sampling over the clusters (r5): the domain
 # REWEIGHTING step (multilingual/multi-source pipelines sample cluster c
 # with probability ∝ n_c^alpha, alpha<1, to keep small domains from being
@@ -2459,7 +2500,10 @@ def _duck_bpe_fold(expr: str, a: str, b: str) -> str:
     )
 
 
-def _sql_bpe_encode_duck() -> str:
+def _duck_bpe_tok_cte() -> str:
+    """WITH-chain through ``tok(doc_id, token)``: the whole corpus encoded
+    with the frozen merges — shared by the histogram and per-doc-count
+    oracles."""
     from engine.bpe_vocab import MERGES
 
     # one CTE per merge rank, NOT one nested expression per rank: DuckDB's
@@ -2480,13 +2524,37 @@ w2 AS (SELECT doc_id, w FROM w1 WHERE w != ''),
 dw AS (SELECT DISTINCT w FROM w2),
 enc0 AS (SELECT w, regexp_extract_all(w, '.') AS toks FROM dw),
 {chain},
+wtok AS (SELECT w, len(toks) AS n FROM {prev}),
 tok AS (SELECT w2.doc_id, unnest({prev}.toks) AS token
-        FROM w2 JOIN {prev} USING (w))
+        FROM w2 JOIN {prev} USING (w))"""
+
+
+def _sql_bpe_encode_duck() -> str:
+    return (
+        _duck_bpe_tok_cte()
+        + """
 SELECT token,
        CAST(count(*) AS BIGINT) AS n_tok,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM tok GROUP BY token
 """
+    )
+
+
+def _sql_bpe_tokens_per_doc_duck() -> str:
+    # per-doc REAL token budget (what sequence packing actually needs):
+    # sum of each word-occurrence's encoded length; gram-less docs -> 0
+    return (
+        _duck_bpe_tok_cte()
+        + """
+SELECT d.doc_id,
+       CAST(coalesce(t.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT w2.doc_id, sum(wtok.n) AS n_bpe
+           FROM w2 JOIN wtok USING (w) GROUP BY w2.doc_id) t
+  ON d.doc_id = t.doc_id
+"""
+    )
 
 
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2504,6 +2572,26 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_tok"),
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         )
+    )
+
+
+def _q_bpe_tokens_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc REAL (frozen-vocab BPE) token counts — the budget column
+    sequence packing consumes; in-row size() over the encoded tokens,
+    zero shuffle beyond the Arrow encode pass."""
+    from engine import bpe as _bpe
+    from engine.bpe_vocab import MERGES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    enc = _bpe.encode_arrow(docs, MERGES)
+    return enc.selectExpr(
+        "doc_id",
+        # size(NULL) is -1 under Spark's legacy sizeOfNull: guard NULL
+        # token arrays (NULL text) explicitly to the oracle's 0
+        "CAST(CASE WHEN tokens IS NULL THEN 0 ELSE size(tokens) END"
+        " AS BIGINT) AS n_bpe_tokens",
     )
 
 
@@ -3732,6 +3820,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
     "tpch_q22_no_orders",
+    "semantic_dedup_keep",
+    "bpe_tokens_per_doc",
     # never driver-gated (r3-r6 additions), judge's must-list first
     "substring_dedup",
     "substring_dedup_winnow",
@@ -3844,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ANN_IVF_TRAINED_HR_SPARK, "embeddings"
         ),
         "embedding_cluster_assign": _sql_query(_EMB_CLUSTER_SPARK, "embeddings"),
+        "semantic_dedup_keep": _sql_query(_semdedup_sql("spark"), "embeddings"),
         "cluster_mixture_sample": _sql_query(_MIXTURE_SAMPLE_SPARK, "embeddings"),
         "quality_classifier_score": _sql_query(_QUALITY_CLF_SPARK, "documents"),
         "lang_id": _sql_query(_SQL_LANG_ID_SPARK, "documents"),
@@ -3859,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_df": _sql_query(_SQL_VOCAB_DF_SPARK, "documents"),
         "bpe_merge_round1": _sql_query(_SQL_BPE_R1_SPARK, "documents"),
         "bpe_encode_tokens": _q_bpe_encode,
+        "bpe_tokens_per_doc": _q_bpe_tokens_per_doc,
         "lm_bigram_nll": _sql_query(_SQL_LM_BIGRAM_SPARK, "documents"),
         "dsir_resample": _sql_query(_SQL_DSIR_SPARK, "documents", "embeddings"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
@@ -3967,6 +4059,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_trained": _ANN_IVF_TRAINED_DUCK,
         "ann_ivf_topk_trained_hr": _ANN_IVF_TRAINED_HR_DUCK,
         "embedding_cluster_assign": _EMB_CLUSTER_DUCK,
+        "semantic_dedup_keep": _semdedup_sql("duck"),
         "cluster_mixture_sample": _MIXTURE_SAMPLE_DUCK,
         "quality_classifier_score": _QUALITY_CLF_DUCK,
         "lang_id": _SQL_LANG_ID_DUCK,
@@ -3982,6 +4075,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_df": _SQL_VOCAB_DF_DUCK,
         "bpe_merge_round1": _SQL_BPE_R1_DUCK,
         "bpe_encode_tokens": _sql_bpe_encode_duck(),
+        "bpe_tokens_per_doc": _sql_bpe_tokens_per_doc_duck(),
         "lm_bigram_nll": _SQL_LM_BIGRAM_DUCK,
         "dsir_resample": _SQL_DSIR_DUCK,
         "decontaminate": _SQL_DECON_DUCK,
