@@ -147,9 +147,15 @@ public class MiniCatalog implements TableCatalog, SupportsNamespaces, ProcedureC
           throw new UnsupportedOperationException("MiniCatalog: nested columns unsupported");
         }
         MiniStore.renameColumn(key(ident), ren.fieldNames()[0], ren.newName());
+      } else if (c instanceof TableChange.DeleteColumn) {
+        TableChange.DeleteColumn del = (TableChange.DeleteColumn) c;
+        if (del.fieldNames().length != 1) {
+          throw new UnsupportedOperationException("MiniCatalog: nested columns unsupported");
+        }
+        MiniStore.dropColumn(key(ident), del.fieldNames()[0]);
       } else {
         throw new UnsupportedOperationException(
-            "MiniCatalog: only ADD/RENAME COLUMN are supported, got "
+            "MiniCatalog: only ADD/RENAME/DROP COLUMN are supported, got "
                 + c.getClass().getSimpleName());
       }
     }

@@ -192,16 +192,19 @@ public class MiniScan
 
   @Override
   public InputPartition[] planInputPartitions() {
-    // projection: read-schema field -> table column index, or -1 = _group
+    // projection: read-schema field -> STORAGE SLOT (via the r7 column
+    // map of this scan's schema epoch), or -1 = _group
     StructField[] fields = readSchema.fields();
+    int[] colMap = MiniStore.colMapAt(key, snapshotId);
     int[] srcIdx = new int[fields.length];
     DataType[] types = new DataType[fields.length];
     for (int i = 0; i < fields.length; i++) {
       if (fields[i].name().equals(MiniTable.GROUP_COL)) {
         srcIdx[i] = -1;
       } else {
-        srcIdx[i] = tableSchema.fieldIndex(fields[i].name());
-        types[i] = tableSchema.fields()[srcIdx[i]].dataType();
+        int fi = tableSchema.fieldIndex(fields[i].name());
+        srcIdx[i] = colMap[fi];
+        types[i] = tableSchema.fields()[fi].dataType();
       }
     }
     ArrayList<ArrayList<InternalRow>> groups;

@@ -34,12 +34,23 @@ public final class MiniStore {
 
   public static final class Entry {
     public StructType schema; // mutable: append-only evolution (r4)
-    // r6 (VERDICT r5 #5): sort-order analog. >= 0 names the schema ordinal
-    // whose SORTED contiguous chunks define group membership (Iceberg
-    // sort-order write: per-group ranges disjoint per commit, so the
-    // manifest min/max stats actually fire on range filters); -1 = the
-    // default first-column hash layout.
+    // r7 column mapping (Iceberg field-id analog): schema field i lives in
+    // STORAGE SLOT colMap[i]. Slots are append-only and never reused or
+    // shifted — ADD COLUMN allocates nextSlot, DROP COLUMN orphans the
+    // slot (rows keep their width; writers null the orphaned slots), so a
+    // row's layout is identical across every schema epoch and old rows
+    // need no rewrite. Invariant: colMap[0] == 0 (dropping the bucket-key
+    // column is refused, so group hashing stays stable forever).
+    final ArrayList<Integer> colMap = new ArrayList<>();
+    int nextSlot;
+    // r6 (VERDICT r5 #5): sort-order analog. >= 0 names the storage SLOT
+    // (== the CREATE-time schema ordinal) whose SORTED contiguous chunks
+    // define group membership (Iceberg sort-order write: per-group ranges
+    // disjoint per commit, so the manifest min/max stats actually fire on
+    // range filters); -1 = the default first-column hash layout. Renames
+    // don't move it; dropping the sort column is refused.
     final int sortOrdinal;
+    final DataType sortType;
     final ArrayList<ArrayList<InternalRow>> groups = new ArrayList<>();
     // r5 (VERDICT r4 #7): per-group column min/max recorded at COMMIT time
     // — the in-memory analog of Iceberg's manifest-level stats. Entry g is
@@ -55,12 +66,20 @@ public final class MiniStore {
     // per-snapshot SCHEMA (r7): the Iceberg schema-id analog — a snapshot
     // committed before an ALTER TABLE reads back with the schema in
     // effect WHEN IT COMMITTED (old width, old names), never the current
-    // one. ALTERs touch only future commits' recorded schemas.
+    // one. ALTERs touch only future commits' recorded schemas. The
+    // column map is snapshotted alongside so the slots resolve with it.
     final TreeMap<Long, StructType> snapshotSchemas = new TreeMap<>();
+    final TreeMap<Long, int[]> snapshotColMaps = new TreeMap<>();
 
     Entry(StructType schema, int sortOrdinal) {
       this.schema = schema;
       this.sortOrdinal = sortOrdinal;
+      this.sortType =
+          sortOrdinal >= 0 ? schema.fields()[sortOrdinal].dataType() : null;
+      for (int i = 0; i < schema.size(); i++) {
+        colMap.add(i);
+      }
+      nextSlot = schema.size();
       for (int g = 0; g < NUM_GROUPS; g++) {
         groups.add(new ArrayList<>());
         stats.add(null);
@@ -68,6 +87,15 @@ public final class MiniStore {
       snapshots.put(0L, new ArrayList<>(groups));
       snapshotStats.put(0L, new Object[NUM_GROUPS][]);
       snapshotSchemas.put(0L, schema);
+      snapshotColMaps.put(0L, mapArray());
+    }
+
+    int[] mapArray() {
+      int[] m = new int[colMap.size()];
+      for (int i = 0; i < m.length; i++) {
+        m[i] = colMap.get(i);
+      }
+      return m;
     }
   }
 
@@ -130,8 +158,9 @@ public final class MiniStore {
   }
 
   /** Append-only schema evolution (r4): add one nullable column at the
-   *  END. Stored rows keep their original width; scans null-pad them
-   *  (MiniScan), exactly the shape of reading pre-evolution data files. */
+   *  END — it owns a brand-new storage slot. Stored rows keep their
+   *  original width; scans null-pad them (MiniScan), exactly the shape of
+   *  reading pre-evolution data files. */
   static StructType addColumn(String key, String name, org.apache.spark.sql.types.DataType type) {
     Entry e = require(key);
     synchronized (e) {
@@ -139,6 +168,58 @@ public final class MiniStore {
         throw new IllegalArgumentException("column exists: " + name);
       }
       e.schema = e.schema.add(name, type, true);
+      e.colMap.add(e.nextSlot++);
+      return e.schema;
+    }
+  }
+
+  /** DROP COLUMN (r7): metadata-only via the column mapping — the slot is
+   *  orphaned, no stored row moves. Refused for the bucket-key column
+   *  (slot 0 drives group hashing forever — Iceberg likewise refuses
+   *  dropping partition source columns) and for the sort-order column. */
+  static StructType dropColumn(String key, String name) {
+    Entry e = require(key);
+    synchronized (e) {
+      java.util.List<String> names = java.util.Arrays.asList(e.schema.fieldNames());
+      if (!names.contains(name)) {
+        throw new IllegalArgumentException("no such column: " + name);
+      }
+      int i = e.schema.fieldIndex(name);
+      int slot = e.colMap.get(i);
+      if (slot == 0) {
+        throw new IllegalArgumentException(
+            "cannot drop the bucket-key column: " + name);
+      }
+      if (slot == e.sortOrdinal) {
+        throw new IllegalArgumentException(
+            "cannot drop the sort-order column: " + name);
+      }
+      org.apache.spark.sql.types.StructField[] old = e.schema.fields();
+      org.apache.spark.sql.types.StructField[] fs =
+          new org.apache.spark.sql.types.StructField[old.length - 1];
+      for (int k = 0, j = 0; k < old.length; k++) {
+        if (k != i) {
+          fs[j++] = old[k];
+        }
+      }
+      e.schema = new StructType(fs);
+      e.colMap.remove(i);
+      // CURRENT manifest stats live in schema-index space: splice the
+      // dropped column's (min, max) out of every group so indices stay
+      // aligned with the new schema (snapshot stats keep their own epoch's
+      // space and are only ever read with that epoch's schema).
+      for (int g = 0; g < NUM_GROUPS; g++) {
+        Object[] st = e.stats.get(g);
+        if (st == null) {
+          continue;
+        }
+        if (2 * i + 1 < st.length) {
+          Object[] ns = new Object[st.length - 2];
+          System.arraycopy(st, 0, ns, 0, 2 * i);
+          System.arraycopy(st, 2 * i + 2, ns, 2 * i, st.length - 2 * i - 2);
+          e.stats.set(g, ns);
+        }
+      }
       return e.schema;
     }
   }
@@ -180,6 +261,37 @@ public final class MiniStore {
       StructType s = e.snapshotSchemas.get(snap);
       // pre-r7 restores may lack an entry: fall back to the current schema
       return s == null ? e.schema : s;
+    }
+  }
+
+  /** Column map (schema index -> storage slot) for the current table
+   *  (snapshotId null) or for the schema epoch of a pinned snapshot. */
+  static int[] colMapAt(String key, Long snapshotId) {
+    Entry e = require(key);
+    synchronized (e) {
+      if (snapshotId == null) {
+        return e.mapArray();
+      }
+      int[] m = e.snapshotColMaps.get(snapshotId);
+      if (m != null) {
+        return m;
+      }
+      // pre-r7 snapshot restore: identity over that snapshot's schema
+      StructType s = e.snapshotSchemas.get(snapshotId);
+      int n = s == null ? e.schema.size() : s.size();
+      int[] ident = new int[n];
+      for (int i = 0; i < n; i++) {
+        ident[i] = i;
+      }
+      return ident;
+    }
+  }
+
+  /** Current storage-row width (slots allocated so far). */
+  static int storageWidth(String key) {
+    Entry e = require(key);
+    synchronized (e) {
+      return e.nextSlot;
     }
   }
 
@@ -227,6 +339,7 @@ public final class MiniStore {
       }
       e.snapshotStats.headMap(cutoff).clear();
       e.snapshotSchemas.headMap(cutoff).clear();
+      e.snapshotColMaps.headMap(cutoff).clear();
       return n;
     }
   }
@@ -270,6 +383,7 @@ public final class MiniStore {
     e.snapshots.put(e.commitSeq, new ArrayList<>(e.groups));
     e.snapshotStats.put(e.commitSeq, statsSnapshot(e));
     e.snapshotSchemas.put(e.commitSeq, e.schema);
+    e.snapshotColMaps.put(e.commitSeq, e.mapArray());
   }
 
   private static Object[][] statsSnapshot(Entry e) {
@@ -281,21 +395,23 @@ public final class MiniStore {
     return st;
   }
 
-  /** Comparable internal value of column {@code i}, or null (null cell,
-   *  pre-evolution narrow row, or a type min/max skipping doesn't cover).
-   *  Timestamps/dates are already comparable longs/ints internally;
-   *  UTF8String compares by content. */
-  private static Comparable<?> statValue(InternalRow r, int i, StructType schema) {
-    if (i >= r.numFields() || r.isNullAt(i)) {
+  /** Comparable internal value of storage slot {@code slot}, or null
+   *  (null cell, pre-evolution narrow row, or a type min/max skipping
+   *  doesn't cover). Timestamps/dates are already comparable longs/ints
+   *  internally; UTF8String compares by content. */
+  private static Comparable<?> statValue(InternalRow r, int slot, DataType t) {
+    if (slot >= r.numFields() || r.isNullAt(slot)) {
       return null;
     }
-    DataType t = schema.fields()[i].dataType();
-    Object v = r.get(i, t);
+    Object v = r.get(slot, t);
     return v instanceof Comparable ? (Comparable<?>) v : null;
   }
 
+  /** Per-group (min, max) pairs in SCHEMA-index space, each value read
+   *  from its column's storage slot via the column map. */
   @SuppressWarnings({"unchecked", "rawtypes"})
-  private static Object[] statsOf(List<InternalRow> rows, StructType schema) {
+  private static Object[] statsOf(
+      List<InternalRow> rows, StructType schema, int[] colMap) {
     if (rows.isEmpty()) {
       return null;
     }
@@ -303,7 +419,7 @@ public final class MiniStore {
     Object[] st = new Object[2 * n];
     for (InternalRow r : rows) {
       for (int i = 0; i < n; i++) {
-        Comparable v = statValue(r, i, schema);
+        Comparable v = statValue(r, colMap[i], schema.fields()[i].dataType());
         if (v == null) {
           continue;
         }
@@ -355,13 +471,15 @@ public final class MiniStore {
   static void append(String key, List<InternalRow> rows) {
     Entry e = require(key);
     synchronized (e) {
-      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema, e.sortOrdinal);
+      int[] m = e.mapArray();
+      ArrayList<ArrayList<InternalRow>> buckets =
+          bucket(rows, e.schema, e.sortOrdinal, e.sortType);
       for (int g = 0; g < NUM_GROUPS; g++) {
         if (!buckets.get(g).isEmpty()) {
           ArrayList<InternalRow> next = new ArrayList<>(e.groups.get(g));
           next.addAll(buckets.get(g));
           e.groups.set(g, next);
-          e.stats.set(g, statsOf(next, e.schema));
+          e.stats.set(g, statsOf(next, e.schema, m));
           e.version[g]++;
         }
       }
@@ -373,10 +491,12 @@ public final class MiniStore {
   static void replace(String key, List<InternalRow> rows) {
     Entry e = require(key);
     synchronized (e) {
-      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema, e.sortOrdinal);
+      int[] m = e.mapArray();
+      ArrayList<ArrayList<InternalRow>> buckets =
+          bucket(rows, e.schema, e.sortOrdinal, e.sortType);
       for (int g = 0; g < NUM_GROUPS; g++) {
         e.groups.set(g, buckets.get(g));
-        e.stats.set(g, statsOf(buckets.get(g), e.schema));
+        e.stats.set(g, statsOf(buckets.get(g), e.schema, m));
         e.version[g]++;
       }
       commitSnapshot(e);
@@ -402,17 +522,19 @@ public final class MiniStore {
           inScan[g] = true;
         }
       }
-      ArrayList<ArrayList<InternalRow>> buckets = bucket(rows, e.schema, e.sortOrdinal);
+      int[] m = e.mapArray();
+      ArrayList<ArrayList<InternalRow>> buckets =
+          bucket(rows, e.schema, e.sortOrdinal, e.sortType);
       for (int g = 0; g < NUM_GROUPS; g++) {
         if (inScan[g]) {
           e.groups.set(g, buckets.get(g));
-          e.stats.set(g, statsOf(buckets.get(g), e.schema));
+          e.stats.set(g, statsOf(buckets.get(g), e.schema, m));
           e.version[g]++;
         } else if (!buckets.get(g).isEmpty()) {
           ArrayList<InternalRow> next = new ArrayList<>(e.groups.get(g));
           next.addAll(buckets.get(g));
           e.groups.set(g, next);
-          e.stats.set(g, statsOf(next, e.schema));
+          e.stats.set(g, statsOf(next, e.schema, m));
           e.version[g]++;
         }
       }
@@ -421,7 +543,7 @@ public final class MiniStore {
   }
 
   private static ArrayList<ArrayList<InternalRow>> bucket(
-      List<InternalRow> rows, StructType schema, int sortOrdinal) {
+      List<InternalRow> rows, StructType schema, int sortOrdinal, DataType sortType) {
     ArrayList<ArrayList<InternalRow>> buckets = new ArrayList<>();
     for (int g = 0; g < NUM_GROUPS; g++) {
       buckets.add(new ArrayList<>());
@@ -443,9 +565,9 @@ public final class MiniStore {
     sorted.sort(
         (a, b) -> {
           @SuppressWarnings("unchecked")
-          Comparable<Object> va = (Comparable<Object>) statValue(a, sortOrdinal, schema);
+          Comparable<Object> va = (Comparable<Object>) statValue(a, sortOrdinal, sortType);
           @SuppressWarnings("unchecked")
-          Comparable<Object> vb = (Comparable<Object>) statValue(b, sortOrdinal, schema);
+          Comparable<Object> vb = (Comparable<Object>) statValue(b, sortOrdinal, sortType);
           if (va == null || vb == null) {
             return va == vb ? 0 : (va == null ? -1 : 1);
           }

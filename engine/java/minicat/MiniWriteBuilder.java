@@ -79,7 +79,11 @@ public class MiniWriteBuilder implements WriteBuilder, SupportsTruncate {
 
     @Override
     public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
-      return new MiniWriterFactory(tableSchema, writeSchema);
+      // r7 column mapping: writers emit STORAGE rows — schema field i
+      // lands in slot colMap[i]; orphaned (dropped) slots stay null
+      return new MiniWriterFactory(
+          tableSchema, writeSchema,
+          MiniStore.colMapAt(key, null), MiniStore.storageWidth(key));
     }
 
     @Override
@@ -104,10 +108,15 @@ public class MiniWriteBuilder implements WriteBuilder, SupportsTruncate {
   static class MiniWriterFactory implements DataWriterFactory {
     private final StructType tableSchema;
     private final StructType writeSchema;
+    private final int[] colMap;
+    private final int width;
 
-    MiniWriterFactory(StructType tableSchema, StructType writeSchema) {
+    MiniWriterFactory(
+        StructType tableSchema, StructType writeSchema, int[] colMap, int width) {
       this.tableSchema = tableSchema;
       this.writeSchema = writeSchema;
+      this.colMap = colMap;
+      this.width = width;
     }
 
     @Override
@@ -137,27 +146,29 @@ public class MiniWriteBuilder implements WriteBuilder, SupportsTruncate {
       return new DataWriter<InternalRow>() {
         private final ArrayList<InternalRow> buf = new ArrayList<>();
 
+        private InternalRow toStorage(InternalRow c, int base) {
+          // schema order -> storage slots; orphaned slots stay null
+          Object[] vals = new Object[width];
+          for (int i = 0; i < n; i++) {
+            int src = base < 0 ? srcIdx[i] : i + base;
+            vals[colMap[i]] = c.isNullAt(src) ? null : c.get(src, types[i]);
+          }
+          return new GenericInternalRow(vals);
+        }
+
         @Override
         public void write(InternalRow row) {
           // copy() first so extracted strings/binaries reference a
           // self-contained buffer, not the task's reused row
           InternalRow c = row.copy();
           if (resolveByName) {
-            Object[] vals = new Object[n];
-            for (int i = 0; i < n; i++) {
-              vals[i] = c.isNullAt(srcIdx[i]) ? null : c.get(srcIdx[i], types[i]);
-            }
-            buf.add(new GenericInternalRow(vals));
+            buf.add(toStorage(c, -1));
           } else if (c.numFields() == n + 1) {
             // positional fallback: raw MergeRows output with a leading
             // __row_operation column (pre-r4 shape, kept for safety)
-            Object[] vals = new Object[n];
-            for (int i = 0; i < n; i++) {
-              vals[i] = c.isNullAt(i + 1) ? null : c.get(i + 1, types[i]);
-            }
-            buf.add(new GenericInternalRow(vals));
+            buf.add(toStorage(c, 1));
           } else {
-            buf.add(c);
+            buf.add(toStorage(c, 0));
           }
         }
 

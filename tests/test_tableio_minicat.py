@@ -260,8 +260,10 @@ def test_alter_table_add_column_evolution(spark, mini_table):
     assert ("u2", "TWO", 3, 0.75) in got and ("u9", "nine", 2, 0.25) in got
     assert ("u1", "one", 1, None) in got
 
-    with _pytest.raises(Exception, match="only ADD/RENAME COLUMN"):
-        spark.sql(f"ALTER TABLE {mini_table} DROP COLUMN ver")
+    # r7: DROP COLUMN is supported (column mapping) — but never for the
+    # bucket-key column, whose slot drives group hashing forever
+    with _pytest.raises(Exception, match="bucket-key"):
+        spark.sql(f"ALTER TABLE {mini_table} DROP COLUMN url")
 
 
 def test_schema_evolution_snapshot_schemas_and_rename(spark, mini_table):
@@ -340,6 +342,70 @@ def _meta(ident: str, suffix: str) -> str:
     """mini.ns.t -> mini.ns.`t$groups`-style metadata-table identifier."""
     head, _, tail = ident.rpartition(".")
     return f"{head}.`{tail}{suffix}`"
+
+
+def test_drop_column_via_column_mapping(spark, mini_table):
+    """r7: DROP COLUMN orphans the column's storage SLOT (append-only
+    column mapping, the Iceberg field-id analog) — no stored row moves,
+    reads skip the slot, re-ADDing the same name allocates a FRESH slot so
+    old values can never resurrect, MERGE keeps working, and pre-drop
+    snapshots still read the dropped column."""
+    import pytest as _pytest
+
+    _df(spark, BASE).writeTo(mini_table).append()
+    v1 = spark.sql(
+        f"SELECT max(snapshot_id) AS s FROM {_meta(mini_table, '$snapshots')}"
+    ).collect()[0]["s"]
+
+    spark.sql(f"ALTER TABLE {mini_table} DROP COLUMN extracted_text")
+    assert spark.table(mini_table).columns == ["url", "ver"]
+    got = sorted(map(tuple, spark.table(mini_table).collect()))
+    assert got == sorted((u, v) for u, _, v in BASE)
+
+    # re-add the SAME name: fresh slot — old values must NOT come back
+    spark.sql(f"ALTER TABLE {mini_table} ADD COLUMN extracted_text STRING")
+    got = sorted(map(tuple, spark.table(mini_table).collect()))
+    assert got == sorted((u, v, None) for u, _, v in BASE)
+
+    # MERGE through the evolved mapping writes the re-added column
+    upd = spark.createDataFrame(
+        [("u2", 9, "TWO-NEW"), ("u7", 9, "SEVEN")],
+        "url string, ver long, extracted_text string",
+    )
+    upd.createOrReplaceTempView("drop_upd")
+    spark.sql(
+        f"MERGE INTO {mini_table} t USING drop_upd s ON t.url = s.url "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted(map(tuple, spark.table(mini_table).collect()))
+    assert ("u2", 9, "TWO-NEW") in got and ("u7", 9, "SEVEN") in got
+    assert ("u1", 1, None) in got
+
+    # the pre-drop snapshot still reads the ORIGINAL column from its slot
+    old = spark.sql(f"SELECT * FROM {mini_table} VERSION AS OF {v1}")
+    assert old.columns == ["url", "extracted_text", "ver"]
+    assert sorted(map(tuple, old.collect())) == sorted(BASE)
+
+    # stats stay aligned after the splice: a point filter on ver (whose
+    # schema index shifted) still returns the right rows
+    assert spark.sql(
+        f"SELECT url FROM {mini_table} WHERE ver = 9 ORDER BY url"
+    ).collect()[0]["url"] == "u2"
+
+
+def test_drop_sort_column_refused(spark):
+    if not tableio.rowlevel_catalog_available(spark):
+        _ = pytest.skip("dist/minicat.jar not on classpath")
+    ident = f"mini.ns.t_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {ident} (url STRING, ts BIGINT, v STRING) "
+        "TBLPROPERTIES ('sort_by'='ts')"
+    )
+    try:
+        with pytest.raises(Exception, match="sort-order"):
+            spark.sql(f"ALTER TABLE {ident} DROP COLUMN ts")
+    finally:
+        spark.sql(f"DROP TABLE {ident}")
 
 
 def test_group_stats_skip_refuted_groups(spark, mini_table):
