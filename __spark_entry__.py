@@ -3711,6 +3711,42 @@ GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
 # BIGINT normalizes Spark's INT vs DuckDB's BIGINT — one shared text.
 
 # part-dimension rollup (brand/type pricing stats)
+# q8: national market share — the widest join pattern in the registry
+# (lineitem x orders x customer x nation x region x supplier x nation x
+# part, 7 joins with a region filter, a product-type filter, and a year
+# extraction), the canonical Catalyst join-reordering/broadcast probe.
+# Revenue is the q15 exact integer cents x discount-complement, so the
+# share is a division of two exact BIGINTs — identical doubles in both
+# engines. Identical SQL text both engines (year() agrees).
+_SQL_TPCH_Q8 = """
+WITH rev AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol_c2,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_c2 ELSE 0 END)
+            AS BIGINT) AS nation_c2,
+       CAST(sum(vol_c2) AS BIGINT) AS total_c2,
+       CAST(round(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_c2
+                           ELSE 0 END) * 1.0 / sum(vol_c2), 4) AS DOUBLE)
+         AS mkt_share
+FROM rev GROUP BY o_year
+"""
+
+
 # q13: customer order-count distribution — LEFT OUTER join + two-level
 # aggregation (the re-aggregation-of-an-aggregate pattern); count-only, so
 # cross-engine exact. Identical SQL text both engines.
@@ -3817,6 +3853,7 @@ _GATE_FRONT: tuple[str, ...] = (
     # round-7 additions first — new queries gate immediately
     "domain_rank",
     "bpe_encode_tokens",
+    "tpch_q8_market_share",
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
     "tpch_q22_no_orders",
@@ -3998,6 +4035,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_qty": _sql_query(_SQL_TPCH_Q17, "lineitem", "part"),
         "tpch_q19_disjunctive": _sql_query(_SQL_TPCH_Q19, "lineitem", "part"),
         "tpch_q18_big_orders": _sql_query(_SQL_TPCH_Q18, "orders", "lineitem"),
+        "tpch_q8_market_share": _sql_query(
+            _SQL_TPCH_Q8, "lineitem", "orders", "customer", "nation",
+            "region", "supplier", "part",
+        ),
         "tpch_q13_custdist": _sql_query(_SQL_TPCH_Q13, "customer", "orders"),
         "tpch_q15_top_supplier": _sql_query(
             _SQL_TPCH_Q15, "lineitem", "supplier"
@@ -4120,6 +4161,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17_small_qty": _SQL_TPCH_Q17,
         "tpch_q19_disjunctive": _SQL_TPCH_Q19,
         "tpch_q18_big_orders": _SQL_TPCH_Q18_DUCK,
+        "tpch_q8_market_share": _SQL_TPCH_Q8,
         "tpch_q13_custdist": _SQL_TPCH_Q13,
         "tpch_q15_top_supplier": _SQL_TPCH_Q15,
         "tpch_q22_no_orders": _SQL_TPCH_Q22,
