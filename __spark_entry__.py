@@ -2575,6 +2575,78 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sequence packing under the REAL tokenizer (r7): the production packing
+# step budgets by frozen-vocab BPE counts, not whitespace counts — the
+# composition every pretraining pipeline actually runs (encode once, pack
+# by the encoded lengths). Same bounded (lang, shard) pack units and the
+# same window arithmetic as `sequence_pack`; only the n_toks column
+# changes. Spark: the Arrow encode feeds the pack SQL via a temp view;
+# DuckDB: the fold-chain CTE feeds the identical pack tail.
+def _seq_pack_tail(dialect: str) -> str:
+    """Pack-window CTE tail over a ``t(doc_id, lang, shard, n_toks)``
+    relation — the exact arithmetic of `sequence_pack`."""
+    if dialect == "spark":
+        ex = (
+            f"explode(sequence(start_tok DIV {_PACK_LEN}, "
+            f"(start_tok + n_toks - 1) DIV {_PACK_LEN}))"
+        )
+    else:
+        ex = (
+            f"unnest(range((start_tok // {_PACK_LEN})::BIGINT, "
+            f"((start_tok + n_toks - 1) // {_PACK_LEN} + 1)::BIGINT))"
+        )
+    return f"""
+o AS (SELECT doc_id, lang, shard, n_toks,
+             sum(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_toks
+      FROM t),
+s AS (SELECT doc_id, lang, shard, n_toks,
+             coalesce(prev_toks, 0) AS start_tok FROM o),
+x AS (SELECT doc_id, lang, shard, n_toks, start_tok,
+             {ex} AS seq_id
+      FROM s WHERE n_toks > 0)
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - seq_id * {_PACK_LEN}
+            AS BIGINT) AS seq_pos,
+       CAST(greatest(start_tok, seq_id * {_PACK_LEN}) - start_tok AS BIGINT)
+         AS doc_offset,
+       CAST(least(start_tok + n_toks, (seq_id + 1) * {_PACK_LEN})
+            - greatest(start_tok, seq_id * {_PACK_LEN}) AS BIGINT)
+         AS n_span_toks
+FROM x
+"""
+
+
+def _sql_seq_pack_bpe_duck() -> str:
+    return (
+        _duck_bpe_tok_cte()
+        + f""",
+bt AS (SELECT w2.doc_id, CAST(sum(wtok.n) AS BIGINT) AS n_bpe
+       FROM w2 JOIN wtok USING (w) GROUP BY w2.doc_id),
+t AS (SELECT d.doc_id, d.lang, d.doc_id // 200 AS shard,
+             coalesce(bt.n_bpe, 0) AS n_toks
+      FROM documents d LEFT JOIN bt ON d.doc_id = bt.doc_id),
+{_seq_pack_tail("duck")}"""
+    )
+
+
+def _q_seq_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    counts = _q_bpe_tokens_per_doc(spark, sf_dir)
+    t = docs.join(counts, "doc_id").selectExpr(
+        "doc_id", "lang", "doc_id DIV 200 AS shard",
+        "n_bpe_tokens AS n_toks",
+    )
+    t.createOrReplaceTempView("_bpe_pack_t")
+    return spark.sql(
+        "WITH t AS (SELECT * FROM _bpe_pack_t)," + _seq_pack_tail("spark")
+    )
+
+
 def _q_bpe_tokens_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc REAL (frozen-vocab BPE) token counts — the budget column
     sequence packing consumes; in-row size() over the encoded tokens,
@@ -3859,6 +3931,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "tpch_q22_no_orders",
     "semantic_dedup_keep",
     "bpe_tokens_per_doc",
+    "sequence_pack_bpe",
     # never driver-gated (r3-r6 additions), judge's must-list first
     "substring_dedup",
     "substring_dedup_winnow",
@@ -3988,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_round1": _sql_query(_SQL_BPE_R1_SPARK, "documents"),
         "bpe_encode_tokens": _q_bpe_encode,
         "bpe_tokens_per_doc": _q_bpe_tokens_per_doc,
+        "sequence_pack_bpe": _q_seq_pack_bpe,
         "lm_bigram_nll": _sql_query(_SQL_LM_BIGRAM_SPARK, "documents"),
         "dsir_resample": _sql_query(_SQL_DSIR_SPARK, "documents", "embeddings"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
@@ -4117,6 +4191,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_round1": _SQL_BPE_R1_DUCK,
         "bpe_encode_tokens": _sql_bpe_encode_duck(),
         "bpe_tokens_per_doc": _sql_bpe_tokens_per_doc_duck(),
+        "sequence_pack_bpe": _sql_seq_pack_bpe_duck(),
         "lm_bigram_nll": _SQL_LM_BIGRAM_DUCK,
         "dsir_resample": _SQL_DSIR_DUCK,
         "decontaminate": _SQL_DECON_DUCK,
