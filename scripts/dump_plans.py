@@ -441,6 +441,24 @@ def main() -> None:
         _plan(em.queries()["bpe_encode_tokens"](spark, args.sf), "simple"),
     ))
 
+    sections.append((
+        "semantic_dedup_keep: SemDeDup within clusters (r7)",
+        "The pairwise cosine self-join keys on cluster_id — bounded per "
+        "cluster (SemDeDup's point: k scales with the corpus so cluster "
+        "members fit a task), never a corpus-wide cartesian; the "
+        "assignment itself is the zero-Exchange in-row argmin.",
+        _plan(em.queries()["semantic_dedup_keep"](spark, args.sf), "simple"),
+    ))
+
+    sections.append((
+        "tpch_q8_market_share: widest join-reordering pattern (r7)",
+        "Seven joins with region/product-type filters: Catalyst broadcasts "
+        "every dim (nation x2, region, supplier, customer, part) against "
+        "the streaming lineitem fact; the share divides two exact "
+        "integer-cents BIGINTs so float order cannot flip it.",
+        _plan(em.queries()["tpch_q8_market_share"](spark, args.sf), "simple"),
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (generated by scripts/dump_plans.py)",
         "",
