@@ -85,6 +85,15 @@ def main() -> None:
         "Crawl WAT (.warc.wat.gz metadata records, JSON envelope per page) "
         "— completes the WARC/WET/WAT triple",
     )
+    ap.add_argument(
+        "--blocklist",
+        default=None,
+        metavar="TSV",
+        help="r7: URL blocklist rules file (one 'kind<TAB>pattern' per "
+        "line; kinds: host, host_suffix, path_prefix; '#' comments) — "
+        "pages whose url a rule blocks are gated out BEFORE extraction "
+        "(engine.urlgate: rules broadcast, corpus streams, zero shuffle)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(master=args.master)
@@ -116,6 +125,24 @@ def main() -> None:
             .where("status = 'ok'")
             .select("url", "warc_ts", "html", "lang")
         )
+    if args.blocklist:
+        from engine import urlgate
+
+        # gate FIRST: blocked urls never reach the WAT export, resume
+        # anti-join, or extraction — the first filter of a crawl pipeline
+        rules = []
+        with open(args.blocklist, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                kind, _, pattern = line.partition("\t")
+                if not pattern:
+                    raise SystemExit(
+                        f"--blocklist: malformed line (want kind<TAB>pattern): {line!r}"
+                    )
+                rules.append((kind, pattern))
+        pages = urlgate.gate_urls(pages, urlgate.rules_df(spark, rules))
     if args.wat_out:
         from engine import sources
 

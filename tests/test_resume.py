@@ -136,3 +136,57 @@ def test_cli_wat_out_exports_input_pages_metadata(spark, pages_small_path, tmp_p
         r["url"] for r in pages.select("url").collect()
     }
     assert all('"Links":' in r["payload"] for r in got)
+
+
+def test_cli_blocklist_gates_pages_before_extraction(
+    spark, pages_small_path, tmp_path
+):
+    """r7: --blocklist gates input urls through engine.urlgate BEFORE
+    extraction — blocked urls appear in neither the extracted table nor
+    the WAT export; comments and blank lines in the rules file are
+    ignored; malformed lines fail loudly."""
+    import sys
+    from unittest import mock
+
+    import pytest as _pytest
+
+    from engine import run_pipeline, sources
+
+    pages = spark.read.parquet(pages_small_path)
+    urls = [r["url"] for r in pages.select("url").collect()]
+    victim_host = urls[0].split("/")[2]
+    blocked = {u for u in urls if u.split("/")[2] == victim_host}
+    assert blocked and len(blocked) < len(urls)
+
+    rules = tmp_path / "rules.tsv"
+    rules.write_text(
+        "# crawl blocklist\n\nhost\t" + victim_host + "\n", encoding="utf-8"
+    )
+    out = str(tmp_path / "extracted")
+    wat = str(tmp_path / "wat")
+    argv = [
+        "run_pipeline.py", "--pages", pages_small_path, "--out", out,
+        "--wat-out", wat, "--blocklist", str(rules), "--run-id", "r1",
+        "--master", spark.sparkContext.master,
+    ]
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch.object(run_pipeline, "get_spark", lambda master=None: spark), \
+            mock.patch.object(spark, "stop", lambda: None):
+        run_pipeline.main()
+    got = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+    assert got == set(urls) - blocked
+    wat_urls = {r["url"] for r in sources.read_pages_wat(spark, wat).collect()}
+    assert wat_urls == set(urls) - blocked  # gated before the WAT export
+
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("host-with-no-tab\n", encoding="utf-8")
+    argv2 = [
+        "run_pipeline.py", "--pages", pages_small_path,
+        "--out", str(tmp_path / "x"), "--blocklist", str(bad),
+        "--run-id", "r2", "--master", spark.sparkContext.master,
+    ]
+    with mock.patch.object(sys, "argv", argv2), \
+            mock.patch.object(run_pipeline, "get_spark", lambda master=None: spark), \
+            mock.patch.object(spark, "stop", lambda: None), \
+            _pytest.raises(SystemExit, match="malformed"):
+        run_pipeline.main()
