@@ -115,8 +115,19 @@ def build_ivf_index(
     ).parquet(f"{index_path}/centroids")
 
     data = e.where("vec_id >= 10")
+    assigned = _assign_to_lists(data, cent, metric)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{index_path}/lists"
+    )
+
+
+def _assign_to_lists(data: DataFrame, cent: DataFrame, metric: str) -> DataFrame:
+    """(vec_id, v, q) -> (vec_id, v, q, list_id): nearest centroid under
+    the index metric, ties -> lowest cid — THE assignment rule, shared by
+    the one-time build and the incremental upsert so the two can never
+    place the same vector differently."""
     rank_expr = _probe_rank_expr(metric, "d.q", "c.cq")
-    assigned = (
+    return (
         data.alias("d")
         .join(F.broadcast(cent.alias("c")))
         .selectExpr(
@@ -132,9 +143,46 @@ def build_ivf_index(
         .where("rn = 1")
         .selectExpr("vec_id", "v", "q", "cid AS list_id")
     )
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{index_path}/lists"
+
+
+def upsert_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    new_embeddings: DataFrame,
+    dedup: bool = True,
+) -> None:
+    """Incremental index refresh (r7): assign NEW vectors with the
+    EXISTING frozen centroids and append them to their posting lists —
+    the build-once / probe-many / refresh-incrementally lifecycle (a real
+    pipeline never rebuilds the corpus index per ingest batch). The
+    centroids (and therefore the metric and every existing assignment)
+    are untouched, so an upsert followed by a probe equals a full rebuild
+    over the union corpus (pinned in tests/test_ann_index).
+
+    ``dedup=True`` anti-joins already-indexed vec_ids (one column read of
+    the lists table) so re-upserting a batch is idempotent; pass False
+    when the caller guarantees fresh ids and wants to skip that scan.
+    Single-writer, like every tableio maintenance op."""
+    cent_src = spark.read.parquet(f"{index_path}/centroids")
+    cent_rows = cent_src.collect()
+    if cent_rows and "metric" in cent_rows[0].__fields__:
+        metric = cent_rows[0]["metric"]
+    else:
+        metric = "dot_q"
+    cent = spark.createDataFrame(
+        [(int(r["cid"]), [int(x) for x in r["cq"]]) for r in cent_rows],
+        "cid bigint, cq array<bigint>",
     )
+    data = _prep(new_embeddings)
+    if dedup:
+        existing = spark.read.parquet(f"{index_path}/lists").select("vec_id")
+        data = data.join(existing, "vec_id", "left_anti")
+    _assign_to_lists(data, cent, metric).write.mode("append").partitionBy(
+        "list_id"
+    ).parquet(f"{index_path}/lists")
+    # the append changed files under an existing path: invalidate Spark's
+    # shared file-status cache so probes see the new members
+    spark.catalog.refreshByPath(f"{index_path}/lists")
 
 
 def _probe_rank_expr(metric: str, q: str, cq: str) -> str:

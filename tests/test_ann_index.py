@@ -230,3 +230,43 @@ def test_ivf_topk_rejects_mixed_metric_index(spark, index_path, tmp_path):
     queries = spark.read.parquet(f"{SF}/embeddings.parquet").limit(2)
     with pytest.raises(ValueError, match="mixed metrics"):
         ann.ivf_topk(spark, bad, queries, nprobe=2, k=3).collect()
+
+
+def test_upsert_ivf_index_equals_full_rebuild(spark, tmp_path):
+    """r7: building on HALF the corpus then upserting the other half must
+    probe identically to a one-shot build over everything (same frozen
+    centroids -> same assignment rule -> same posting lists), and
+    re-upserting the same batch is a no-op (dedup anti-join)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = str(tmp_path / "full")
+    ann.build_ivf_index(spark, SF, full)
+
+    part = str(tmp_path / "part")
+    ann.build_ivf_index(spark, SF, part)
+    # rewrite the partial index's lists to the first half only (the
+    # centroids — sampled from low vec_ids — are identical by construction)
+    half = spark.read.parquet(f"{full}/lists").where("vec_id % 2 = 0")
+    half.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{part}/lists"
+    )
+    spark.catalog.refreshByPath(f"{part}/lists")
+
+    late = emb.where("vec_id >= 10 AND vec_id % 2 = 1")
+    ann.upsert_ivf_index(spark, part, late)
+
+    queries = emb.where("vec_id < 10")
+    got = sorted(
+        tuple(r) for r in ann.ivf_topk(spark, part, queries).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ann.ivf_topk(spark, full, queries).collect()
+    )
+    assert got == want and len(got) == 30
+
+    # idempotence: the same batch again adds nothing
+    n = spark.read.parquet(f"{part}/lists").count()
+    ann.upsert_ivf_index(spark, part, late)
+    assert spark.read.parquet(f"{part}/lists").count() == n
+    # dedup=False trusts the caller: the duplicate WOULD land
+    ann.upsert_ivf_index(spark, part, late.limit(1), dedup=False)
+    assert spark.read.parquet(f"{part}/lists").count() == n + 1
