@@ -23,19 +23,22 @@ from pyspark.sql import DataFrame, functions as F
 
 # Feature map: bias, capped length, stopword share, capped mean token len.
 # All in-row; the stopword set is the tiny English core (the quality_score
-# query's signal family).
-FEATURES_EXPR = """
+# query's signal family). The template takes the text / char-count SOURCE
+# EXPRESSIONS so the same feature map scores both the documents table
+# (text, n_chars) and the extraction output (extracted_text, length(..)).
+FEATURES_TEMPLATE = """
 array(
   CAST(1.0 AS DOUBLE),
-  least(CAST(n_chars AS DOUBLE), 2000.0) / 2000.0,
-  CAST(size(filter(split(text, ' '),
+  least(CAST(({n_chars}) AS DOUBLE), 2000.0) / 2000.0,
+  CAST(size(filter(split(({text}), ' '),
                    w -> w IN ('the', 'and', 'of', 'a', 'to'))) AS DOUBLE)
-    / greatest(size(filter(split(text, ' '), w -> w != '')), 1),
-  least(CAST(length(text) AS DOUBLE)
-          / greatest(size(filter(split(text, ' '), w -> w != '')), 1),
+    / greatest(size(filter(split(({text}), ' '), w -> w != '')), 1),
+  least(CAST(length(({text})) AS DOUBLE)
+          / greatest(size(filter(split(({text}), ' '), w -> w != '')), 1),
         15.0) / 15.0
 )
 """
+FEATURES_EXPR = FEATURES_TEMPLATE.format(text="text", n_chars="n_chars")
 DIM = 4
 
 
@@ -105,6 +108,21 @@ def score(feats: DataFrame, w: list[float]) -> DataFrame:
         f"1.0 / (1.0 + exp(-({m}))) AS p",
         f"CAST(CASE WHEN {m} >= 0 THEN 1 ELSE 0 END AS INT) AS pred",
     )
+
+
+def quality_p_expr(
+    w: list[float], text: str = "text", n_chars: str = "n_chars"
+) -> str:
+    """The trained quality probability as ONE in-row SQL expression over
+    arbitrary text / char-count source expressions — the score-many form
+    the pipeline's --quality-min gate applies to extraction output
+    (broadcast-literal weights, zero shuffle, no intermediate columns)."""
+    feats = FEATURES_TEMPLATE.format(text=text, n_chars=n_chars)
+    m = (
+        f"aggregate(zip_with({feats}, {_w_lit(w)}, (a, b) -> a * b), "
+        "CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    return f"1.0 / (1.0 + exp(-({m})))"
 
 
 def python_logreg(

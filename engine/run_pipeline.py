@@ -86,6 +86,17 @@ def main() -> None:
         "— completes the WARC/WET/WAT triple",
     )
     ap.add_argument(
+        "--quality-min",
+        type=float,
+        default=None,
+        metavar="P",
+        help="r7: drop successfully-extracted docs whose trained "
+        "quality-classifier probability (engine/logreg_model frozen "
+        "weights, in-row broadcast-literal scoring) falls below P; "
+        "error/empty rows pass through — they are the failure record "
+        "coverage metrics count",
+    )
+    ap.add_argument(
         "--blocklist",
         default=None,
         metavar="TSV",
@@ -175,6 +186,19 @@ def main() -> None:
         pages, mode=args.mode, num_parts=args.parts, run_id=args.run_id,
         fallback=args.fallback,
     )
+    if args.quality_min is not None:
+        from engine.logreg import quality_p_expr
+        from engine.logreg_model import TRAINED_WEIGHTS
+
+        p = quality_p_expr(
+            TRAINED_WEIGHTS,
+            text="coalesce(extracted_text, '')",
+            n_chars="length(coalesce(extracted_text, ''))",
+        )
+        extracted = extracted.where(
+            "status NOT IN ('ok', 'fallback') "
+            f"OR ({p}) >= {float(args.quality_min)!r}"
+        )
     # Stage the run output once: merge_by_url evaluates its updates twice
     # (bucket census + merged write) — merging the live extraction lineage
     # would run the whole extraction twice.

@@ -190,3 +190,51 @@ def test_cli_blocklist_gates_pages_before_extraction(
             mock.patch.object(spark, "stop", lambda: None), \
             _pytest.raises(SystemExit, match="malformed"):
         run_pipeline.main()
+
+
+def test_cli_quality_min_gates_extracted_docs(spark, pages_small_path, tmp_path):
+    """r7: --quality-min drops ok/fallback docs scoring below the frozen
+    quality-classifier threshold and passes failure rows through; the kept
+    set equals an engine.logreg rescoring of the ungated output."""
+    import sys
+    from unittest import mock
+
+    from engine import run_pipeline
+    from engine.logreg import quality_p_expr
+    from engine.logreg_model import TRAINED_WEIGHTS
+
+    def run(out, extra):
+        argv = [
+            "run_pipeline.py", "--pages", pages_small_path, "--out", out,
+            "--run-id", "r1", "--master", spark.sparkContext.master,
+        ] + extra
+        with mock.patch.object(sys, "argv", argv), \
+                mock.patch.object(run_pipeline, "get_spark", lambda master=None: spark), \
+                mock.patch.object(spark, "stop", lambda: None):
+            run_pipeline.main()
+        return spark.read.parquet(out)
+
+    base = run(str(tmp_path / "all"), [])
+    q = 0.62
+    gated = run(str(tmp_path / "gated"), ["--quality-min", str(q)])
+
+    p = quality_p_expr(
+        TRAINED_WEIGHTS,
+        text="coalesce(extracted_text, '')",
+        n_chars="length(coalesce(extracted_text, ''))",
+    )
+    want = {
+        r["url"]
+        for r in base.where(
+            f"status NOT IN ('ok', 'fallback') OR ({p}) >= {q!r}"
+        ).collect()
+    }
+    got = {r["url"] for r in gated.collect()}
+    assert got == want
+    # the gate actually fired, and failure rows survived it
+    assert len(got) < base.count()
+    base_fail = {
+        r["url"]
+        for r in base.where("status NOT IN ('ok', 'fallback')").collect()
+    }
+    assert base_fail and base_fail <= got
