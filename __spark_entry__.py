@@ -3391,8 +3391,10 @@ kept AS (
     SELECT 1 FROM rules r
     WHERE (r.kind = 'host' AND u.host = r.pattern)
        OR (r.kind = 'host_suffix'
-           AND (u.host = r.pattern OR u.host LIKE '%.' || r.pattern))
-       OR (r.kind = 'path_prefix' AND u.path LIKE r.pattern || '%')))
+           AND (u.host = r.pattern
+                OR right(u.host, length(r.pattern) + 1) = '.' || r.pattern))
+       OR (r.kind = 'path_prefix'
+           AND left(u.path, length(r.pattern)) = r.pattern)))
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS id_checksum,

@@ -7,10 +7,14 @@ and a runtime rule table:
 
 - rule kinds: ``host`` (exact), ``host_suffix`` (``*.host`` — matches the
   apex too, the standard blocklist-format semantics), ``path_prefix``.
+- matching is LITERAL: suffix/prefix tests compare ``right()``/``left()``
+  slices, never LIKE over a user pattern — '_' is a LIKE wildcard and a
+  legal hostname character (r7 found bug: 'foo_bar.example' under LIKE
+  also blocked 'fooXbar.example').
 - plan shape: host/path extraction is the JVM ``parse_url`` projection
   (zero shuffle — the url_features construction), and the gate is a
   LEFT ANTI join against the broadcast rule table. The non-equi
-  suffix/prefix LIKE conditions make it a BroadcastNestedLoopJoin: the
+  suffix/prefix conditions make it a BroadcastNestedLoopJoin: the
   right plan at any corpus scale, because the build side is the rule
   table (thousands of rows at most) and each corpus partition streams
   through it in place — pinned in tests/test_plans.
@@ -52,13 +56,17 @@ def gate_urls(df: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFram
         .otherwise(F.lower("pattern"))
         .alias("_g_pat"),
     )
-    # SQL-expr condition: LIKE with a computed pattern needs the SQL form
-    # (the Column.like API takes only literals)
+    # LITERAL prefix/suffix matching via left()/right(), never LIKE with a
+    # user pattern (r7 found bug): '_' is a LIKE single-char wildcard AND a
+    # legal hostname character, so a rule 'foo_bar.example' under LIKE also
+    # blocked 'fooXbar.example' (likewise '%'/'_' in path prefixes).
     cond = F.expr(
         "(_g_kind = 'host' AND _g_host = _g_pat)"
         " OR (_g_kind = 'host_suffix'"
-        "     AND (_g_host = _g_pat OR _g_host LIKE '%.' || _g_pat))"
-        " OR (_g_kind = 'path_prefix' AND _g_path LIKE _g_pat || '%')"
+        "     AND (_g_host = _g_pat"
+        "          OR right(_g_host, length(_g_pat) + 1) = '.' || _g_pat))"
+        " OR (_g_kind = 'path_prefix'"
+        "     AND left(_g_path, length(_g_pat)) = _g_pat)"
     )
     return probe.join(F.broadcast(r), cond, "left_anti").drop(
         "_g_host", "_g_path"

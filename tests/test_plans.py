@@ -189,6 +189,8 @@ def test_urlgate_engine_path_semantics_and_plan(spark):
         (6, "HTTPS://Tracker.Example/p/6"),          # case-folded host
         (7, "https://ok.example/Admin/panel/7"),     # case-SENSITIVE path
         (8, "https://ok.example/admin/panel/8"),     # lowercase path survives
+        (9, "https://ok.example/a_b/9"),             # literal '_' path blocked
+        (10, "https://ok.example/axb/10"),           # NOT a LIKE wildcard match
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     rules = urlgate.rules_df(
@@ -199,10 +201,15 @@ def test_urlgate_engine_path_semantics_and_plan(spark):
          # ADVICE r6: path rules must be kept VERBATIM — URL paths are
          # case-sensitive, so '/Admin/' blocks only '/Admin/…' and a prior
          # bug folding it to '/admin/' would have never fired at all
-         ("path_prefix", "/Admin/")],
+         ("path_prefix", "/Admin/"),
+         # r7 found bug: '_' is a LIKE single-char wildcard and common in
+         # real paths — matching must be LITERAL, so '/a_b/' must not
+         # block '/axb/…' (hosts with '_' never reach the rules at all:
+         # parse_url returns NULL for non-URI hostnames)
+         ("path_prefix", "/a_b/")],
     )
     kept = urlgate.gate_urls(df, rules)
-    assert sorted(r["doc_id"] for r in kept.collect()) == [5, 8]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5, 8, 10]
     assert kept.columns == ["doc_id", "url"]
 
     plan = _plan(kept, "simple")
