@@ -599,7 +599,8 @@ def _heal_swaps(target_path: str) -> None:
     # leftover staged copy is garbage — merge_by_url is idempotent and the
     # caller simply re-merges. (Single-writer semantics, same as the swap
     # itself: merge_by_url heals on entry, before creating its own tmp.)
-    for sib in glob.glob(f"{target_path}.tmp-*"):
+    # glob.escape: a table path containing [ ] * ? must not become a pattern
+    for sib in glob.glob(glob.escape(target_path) + ".tmp-*"):
         shutil.rmtree(sib, ignore_errors=True)
 
 
