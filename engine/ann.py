@@ -276,6 +276,32 @@ def ivf_topk(
     )
 
 
+def compact_ivf_lists(spark: SparkSession, index_path: str) -> None:
+    """Posting-list maintenance (r7): every :func:`upsert_ivf_index` batch
+    appends a small file per touched list; periodic compaction rewrites
+    the lists table into one file per list partition, exactly like
+    ``tableio.compact`` for the extracted table. Crash-safe the same way:
+    the rewrite stages to a tmp SIBLING and swaps by rename, so readers
+    see either the old or the new complete table."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    lists_path = f"{index_path}/lists"
+    lists = spark.read.parquet(lists_path)
+    tmp = f"{lists_path}.tmp-{_uuid.uuid4().hex[:8]}"
+    # one output file per list: repartition on the partition column so
+    # each task holds exactly its list's members
+    lists.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(tmp)
+    aside = f"{lists_path}.gc-{_uuid.uuid4().hex[:8]}"
+    os.rename(lists_path, aside)
+    os.rename(tmp, lists_path)
+    shutil.rmtree(aside)
+    spark.catalog.refreshByPath(lists_path)
+
+
 def train_ivf_codebook(
     spark: SparkSession,
     sf_dir: str,

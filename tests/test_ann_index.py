@@ -270,3 +270,30 @@ def test_upsert_ivf_index_equals_full_rebuild(spark, tmp_path):
     # dedup=False trusts the caller: the duplicate WOULD land
     ann.upsert_ivf_index(spark, part, late.limit(1), dedup=False)
     assert spark.read.parquet(f"{part}/lists").count() == n + 1
+
+
+def test_compact_ivf_lists_preserves_probes_and_shrinks_files(spark, tmp_path):
+    """r7: repeated upserts fragment the posting lists; compaction must
+    shrink the file count and leave every probe row-identical."""
+    import glob as _glob
+
+    p = str(tmp_path / "idx")
+    ann.build_ivf_index(spark, SF, p)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # fragment: several tiny upserts of synthetic new ids
+    for k in range(3):
+        batch = emb.where("vec_id >= 10").limit(5).selectExpr(
+            f"vec_id + 10000 + {k * 100} AS vec_id", "embedding"
+        )
+        ann.upsert_ivf_index(spark, p, batch)
+    queries = emb.where("vec_id < 10")
+    before = sorted(tuple(r) for r in ann.ivf_topk(spark, p, queries).collect())
+    n_files_before = len(_glob.glob(f"{p}/lists/list_id=*/*.parquet"))
+
+    ann.compact_ivf_lists(spark, p)
+    after = sorted(tuple(r) for r in ann.ivf_topk(spark, p, queries).collect())
+    n_files_after = len(_glob.glob(f"{p}/lists/list_id=*/*.parquet"))
+    assert after == before and len(after) == 30
+    assert n_files_after < n_files_before
+    # row content fully preserved, not just the probe set
+    assert spark.read.parquet(f"{p}/lists").count() == 490 + 15

@@ -155,3 +155,45 @@ def test_domain_rank_empty_edges(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_domain_rank_properties_on_random_graphs(spark):
+    """Property sweep over deterministic pseudo-random graphs: for any
+    edge set, the rank is one row per node, every component positive, the
+    total mass is bounded by (teleport, 1], and relabeling hosts is a pure
+    renaming (structure determines rank, names don't)."""
+    import hashlib
+
+    def rnd(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    for salt in ("g1", "g2", "g3"):
+        n_edges = 6 + rnd(0, salt) % 12
+        edges = [
+            (
+                f"h{rnd(i, salt) % 7}.x",
+                f"h{rnd(i + 100, salt) % 7}.x",
+                float(1 + rnd(i + 200, salt) % 5),
+            )
+            for i in range(n_edges)
+        ]
+        edges = [(s, d, w) for s, d, w in edges if s != d]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src string, dst string, w double")
+        ranks, ids = watgraph.domain_rank(df, k=4)
+        rows = {r["host"]: r["rank_r"] for r in ranks.collect()}
+        release_local_checkpoint(spark, ids)
+        nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+        assert set(rows) == nodes
+        assert all(v > 0 for v in rows.values()), rows
+        total = sum(rows.values())
+        assert 0.15 - 1e-6 < total <= 1.0 + 1e-6, total
+
+        # pure renaming: prefix every host — ranks unchanged up to the map
+        ren = [(f"z{s}", f"z{d}", w) for s, d, w in edges]
+        df2 = spark.createDataFrame(ren, "src string, dst string, w double")
+        ranks2, ids2 = watgraph.domain_rank(df2, k=4)
+        rows2 = {r["host"]: r["rank_r"] for r in ranks2.collect()}
+        release_local_checkpoint(spark, ids2)
+        assert rows2 == {f"z{h}": v for h, v in rows.items()}
