@@ -3154,20 +3154,29 @@ FROM l GROUP BY target
 # join run over the host-level aggregate (|hosts| rows, millions at crawl
 # scale — never corpus rows), exactly how a real crawl rank iterates.
 # Reference analog: the corpus-level rollup role of evaluation.py:103-133.
-def _domain_rank_sql_tail(final_k: int = 3) -> str:
-    """CTE chain from an ``e0(src, target)`` CTE to the ranked host table —
-    dialect-identical TEXT shared verbatim by the Spark query and the
-    DuckDB oracle (substring/split_part/scalar-subquery all agree), so the
-    recurrence cannot drift between the two engines."""
-    parts = [
-        """ e AS (
+# the host-edge aggregation from raw (src, target) links — shared TEXT:
+# the DuckDB oracle runs it as the e CTE; the Spark side runs the SAME
+# statement eagerly over the links view (one corpus pass) and feeds the
+# recurrence a materialized local relation, because Spark inlines CTEs —
+# leaving e in the chain re-executed the corpus scan + Arrow WAT build
+# once PER REFERENCE (26 scans for K=3; plan-pinned to zero now).
+_DOMAIN_RANK_EDGE_SQL = """
   SELECT src, split_part(substring(target, 9), '/', 1) AS dst,
          CAST(count(*) AS DOUBLE) AS w
   FROM e0
   WHERE target LIKE 'https://%'
     AND src <> split_part(substring(target, 9), '/', 1)
   GROUP BY 1, 2
-), nodes AS (SELECT src AS h FROM e UNION SELECT dst AS h FROM e),
+"""
+
+
+def _domain_rank_sql_tail(final_k: int = 3) -> str:
+    """CTE chain from an ``e(src, dst, w)`` CTE to the ranked host table —
+    dialect-identical TEXT shared verbatim by the Spark query and the
+    DuckDB oracle (substring/split_part/scalar-subquery all agree), so the
+    recurrence cannot drift between the two engines."""
+    parts = [
+        """ nodes AS (SELECT src AS h FROM e UNION SELECT dst AS h FROM e),
  nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
  outw AS (SELECT src, sum(w) AS tw FROM e GROUP BY 1),
  r0 AS (SELECT h, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
@@ -3209,7 +3218,8 @@ _SQL_DOMAIN_RANK_DUCK = f"""
 WITH h AS (SELECT doc_id, {_WAT_HTML_BODY} AS html FROM documents),
 e0 AS (SELECT {_DOMAIN_RANK_SRC} AS src,
               unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS target
-       FROM h),{_domain_rank_sql_tail(3)}
+       FROM h),
+e AS ({_DOMAIN_RANK_EDGE_SQL}),{_domain_rank_sql_tail(3)}
 """
 
 
@@ -3218,8 +3228,22 @@ def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_DOMAIN_RANK_SRC} AS src", "target"
     )
     links.createOrReplaceTempView("_domain_links")
+    # ONE corpus pass: the shared edge statement aggregates to host level
+    # (|hosts|^2-bounded — a few hundred rows at every gate SF), collected
+    # and re-registered as a local relation so the K=3 recurrence, node
+    # set, and degree CTEs never re-execute the scan/Arrow WAT build (the
+    # production-scale distributed path is engine.watgraph.domain_rank,
+    # which checkpoints instead of collecting).
+    edge_rows = spark.sql(
+        "WITH e0 AS (SELECT src, target FROM _domain_links)"
+        + _DOMAIN_RANK_EDGE_SQL
+    ).collect()
+    spark.createDataFrame(
+        [(r["src"], r["dst"], float(r["w"])) for r in edge_rows],
+        "src string, dst string, w double",
+    ).createOrReplaceTempView("_domain_edges")
     return spark.sql(
-        "WITH e0 AS (SELECT src, target FROM _domain_links),"
+        "WITH e AS (SELECT src, dst, w FROM _domain_edges),"
         + _domain_rank_sql_tail(3)
     )
 

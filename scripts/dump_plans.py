@@ -336,11 +336,14 @@ def main() -> None:
 
     sections.append((
         "domain_rank: WAT host-graph damped rank, K=3 unrolled (r7)",
-        "The only corpus-scale work is ONE edge partial-agg off the WAT "
-        "payload pass (MapInPandas -> from_json/explode -> partial "
-        "HashAggregate); all three rank iterations join/aggregate over the "
-        "host-level aggregate (|hosts| rows). The scalar (SELECT n) "
-        "subqueries are the node count — no cartesian/BNLJ anywhere.",
+        "The ONE corpus-scale pass (WAT payload MapInPandas -> "
+        "from_json/explode -> edge partial-agg) runs EAGERLY and the "
+        "recurrence chain reads the materialized host-level aggregate — "
+        "zero parquet scans / zero Python stages below (plan-pinned; "
+        "Spark's CTE inlining would otherwise re-execute the corpus pass "
+        "once per e reference, 26x for K=3 — found and fixed in r7 "
+        "self-review). engine/watgraph.domain_rank is the distributed "
+        "checkpoint-based form of the same discipline.",
         _plan(em.queries()["domain_rank"](spark, args.sf), "simple"),
     ))
 

@@ -239,6 +239,21 @@ def test_url_blocklist_gate_broadcasts_rules_zero_corpus_shuffle(spark):
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
 
 
+def test_domain_rank_single_corpus_pass(spark):
+    """r7 self-review: Spark inlines CTEs, so leaving the edge aggregate
+    in the recurrence chain re-executed the corpus scan + Arrow WAT build
+    once PER REFERENCE (26 scans for K=3). The registry query now runs
+    the shared edge statement eagerly (one pass) and feeds the chain a
+    local relation — the returned plan must contain ZERO parquet scans
+    and ZERO Python stages."""
+    import __spark_entry__ as em
+
+    df = em.queries()["domain_rank"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df, "simple")
+    assert "Scan parquet" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_q22_antijoin_and_q15_scalar_max_plan_shapes(spark):
     """r7 TPC-H additions: q22's NOT EXISTS over the date-windowed order
     subset must plan as a LeftAnti join with the date predicate PUSHED to
