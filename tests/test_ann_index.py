@@ -297,3 +297,38 @@ def test_compact_ivf_lists_preserves_probes_and_shrinks_files(spark, tmp_path):
     assert n_files_after < n_files_before
     # row content fully preserved, not just the probe set
     assert spark.read.parquet(f"{p}/lists").count() == 490 + 15
+
+
+def test_upsert_respects_trained_index_metric(spark, tmp_path):
+    """r7: upserting into a TRAINED (l2_q-metric) index must assign with
+    THAT metric (read from the centroids table), not the sampled-codebook
+    dot ranking — half-build + upsert probes row-equal to a full trained
+    rebuild."""
+    from engine import ann_codebook
+
+    cb = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(ann_codebook.TRAINED_CENTROIDS)],
+        "cid int, centroid array<double>",
+    )
+    full = str(tmp_path / "full")
+    ann.build_ivf_index(spark, SF, full, codebook=cb)
+    part = str(tmp_path / "part")
+    ann.build_ivf_index(spark, SF, part, codebook=cb)
+    half = spark.read.parquet(f"{full}/lists").where("vec_id % 2 = 0")
+    half.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{part}/lists"
+    )
+    spark.catalog.refreshByPath(f"{part}/lists")
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ann.upsert_ivf_index(
+        spark, part, emb.where("vec_id >= 10 AND vec_id % 2 = 1")
+    )
+    queries = emb.where("vec_id < 10")
+    got = sorted(
+        tuple(r) for r in ann.ivf_topk(spark, part, queries).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ann.ivf_topk(spark, full, queries).collect()
+    )
+    assert got == want and len(got) == 30
