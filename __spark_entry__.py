@@ -1395,6 +1395,159 @@ _ANN_IVF_TRAINED_HR_SPARK = _ann_ivf_trained_sql("spark", _IVF_NPROBE_HR)
 _ANN_IVF_TRAINED_HR_DUCK = _ann_ivf_trained_sql("duck", _IVF_NPROBE_HR)
 
 
+# --- fast Spark-side IVF execution (r8 optimization) -----------------------
+# The SQL form above (kept verbatim as the DuckDB oracle and as
+# documentation of WHAT is computed) materializes an N x K CROSS JOIN and
+# pushes it through a row_number window just to take an integer argmin per
+# vector: at the driver's sf1.0 (N=20k, K~645 sampled centroids) that is
+# 12.9M interpreted aggregate(zip_with(...)) rows plus a full window
+# shuffle — 133 s measured. The execution below computes the IDENTICAL
+# values (guide §4.2: hand whole Arrow batches to vectorized native code):
+#
+# - assignment/probing is ONE mapInPandas pass over the embeddings scan;
+#   per batch, the quantized integer dot products against ALL centroids are
+#   a single float64 BLAS matmul. Every quantity is integral and bounded
+#   well below 2^53 (|q| <= ~1e3, dim 64 -> |dot| <= ~6.4e7; guarded at
+#   runtime with an int64 fallback), so the float64 matmul is EXACT and the
+#   argmin/argmax (np.argmin/argmax take the FIRST extremum; centroid
+#   columns are ordered by cid) reproduces the SQL's
+#   "ORDER BY score, cid / row_number() = 1" tie rule bit-for-bit.
+# - the probe side (vec_id < 10: ten rows) is collected once — quantized by
+#   the SAME Spark SQL expression as the oracle's e CTE — and its
+#   top-nprobe lists are computed in driver NumPy under the identical
+#   stable (score, cid) order; the list_id -> [query_id] dict rides into
+#   the mapInPandas closure, so candidate (query_id, neighbor_id) pairs
+#   are emitted IN the single pass: no N x K rows, no window Exchange, no
+#   probe/assign re-join.
+# - the exact-cosine re-rank keeps the ORIGINAL Spark SQL text (`sims` +
+#   rank CTEs with the same COSINE fold), so every float that reaches the
+#   output is produced by the same JVM expressions as before — results are
+#   value-identical by construction (pinned: tests/test_ann_fast.py
+#   row-equality against the pure-SQL form at two SFs).
+_IVF_Q_EXPR = (
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+def _ivf_sims_sql() -> str:
+    """Final exact-cosine + top-3 rank over the candidate pairs — the SAME
+    expression text as the `sims`/rank tail of the oracled SQL form."""
+    from engine.ann import COSINE
+
+    cosine = COSINE.format(a="a.v", b="d.v")
+    return f"""
+WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         {cosine} AS sim
+  FROM _ivf_cands c JOIN e a ON a.vec_id = c.query_id
+               JOIN e d ON d.vec_id = c.neighbor_id)
+SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) + 0 AS DOUBLE) AS sim_r FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM sims) t
+WHERE rank <= 3
+"""
+
+
+def _ivf_scores(Q, C, cc, metric):
+    """Integer centroid scores for a batch: ascending-better, exactly the
+    SQL's ORDER BY key (-dot_q for the sampled codebook, l2_q for the
+    trained one). float64 when every term is provably < 2^53 (exact),
+    int64 otherwise."""
+    import numpy as np
+
+    m = max(np.abs(Q).max(initial=0.0), np.abs(C).max(initial=0.0))
+    dim = C.shape[1]
+    if 4.0 * m * m * dim < 2.0**53:
+        dots = Q @ C.T
+        if metric == "dot_q":
+            return -dots
+        qq = (Q * Q).sum(axis=1)
+        return qq[:, None] - 2.0 * dots + cc[None, :]
+    Qi, Ci = Q.astype(np.int64), C.astype(np.int64)
+    dots = Qi @ Ci.T
+    if metric == "dot_q":
+        return -dots
+    qq = (Qi * Qi).sum(axis=1)
+    cci = (Ci * Ci).sum(axis=1)
+    return qq[:, None] - 2 * dots + cci[None, :]
+
+
+def _mk_ivf_fast(trained: bool, nprobe: int) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import numpy as np
+
+        _load(spark, sf_dir, "embeddings")
+        if trained:
+            cent = [(cid, list(cq)) for cid, cq in enumerate(_TRAINED_CQ)]
+            metric = "l2_q"
+        else:
+            rows = spark.sql(
+                f"SELECT vec_id AS cid, {_IVF_Q_EXPR} AS cq FROM embeddings "
+                f"WHERE {_IVF_CENT_RULE}"
+            ).collect()
+            # nlists rows of dim ints — the same driver-small codebook
+            # collect engine.ann.ivf_topk performs
+            cent = sorted((int(r["cid"]), [int(x) for x in r["cq"]]) for r in rows)
+            metric = "dot_q"
+        C = np.asarray([cq for _, cq in cent], dtype=np.float64)
+        cids = np.asarray([cid for cid, _ in cent], dtype=np.int64)
+        cc = (C * C).sum(axis=1)
+
+        # probe side: ten query rows, quantized by the oracle's own Spark
+        # expression; top-nprobe under stable (score, cid) order == the
+        # SQL's "row_number() OVER (ORDER BY score, cid) <= nprobe"
+        q_rows = spark.sql(
+            f"SELECT vec_id, {_IVF_Q_EXPR} AS q FROM embeddings WHERE vec_id < 10"
+        ).collect()
+        probe_lists: dict[int, list[int]] = {}
+        for r in sorted(q_rows, key=lambda r: int(r["vec_id"])):
+            qv = np.asarray([float(x) for x in r["q"]], dtype=np.float64)[None, :]
+            s = _ivf_scores(qv, C, cc, metric)[0]
+            for j in np.argsort(s, kind="stable")[: int(nprobe)]:
+                probe_lists.setdefault(int(cids[j]), []).append(int(r["vec_id"]))
+
+        def assign_and_pair(batches):
+            import numpy as np  # noqa: PLC0415 — executor-side import
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                Qm = np.floor(V * 1000.0)
+                s = _ivf_scores(Qm, C, cc, metric)
+                best = cids[np.argmin(s, axis=1)]  # first min -> lowest cid
+                vid = pdf["vec_id"].to_numpy()
+                out_q, out_n = [], []
+                for v, lid in zip(vid, best):
+                    for qid in probe_lists.get(int(lid), ()):
+                        out_q.append(qid)
+                        out_n.append(int(v))
+                yield pd.DataFrame(
+                    {"query_id": pd.Series(out_q, dtype="int64"),
+                     "neighbor_id": pd.Series(out_n, dtype="int64")}
+                )
+
+        data = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .where("vec_id >= 10")
+            .select("vec_id", "embedding")
+        )
+        cands = data.mapInPandas(
+            assign_and_pair, schema="query_id bigint, neighbor_id bigint"
+        )
+        cands.createOrReplaceTempView("_ivf_cands")
+        return spark.sql(_ivf_sims_sql())
+
+    return q
+
+
 # Corpus clustering by the frozen codebook (r5): every embedding assigned
 # to its nearest trained centroid — the domain-bucketing step a
 # pretraining pipeline runs before mixture weighting. Pure in-row exact
@@ -4064,11 +4217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
         "embedding_near_dup": _sql_query(_NEARDUP_SPARK, "embeddings"),
         "ann_lsh_candidates": _sql_query(_ANN_LSH_SPARK, "embeddings"),
-        "ann_ivf_topk": _sql_query(_ANN_IVF_SPARK, "embeddings"),
-        "ann_ivf_topk_trained": _sql_query(_ANN_IVF_TRAINED_SPARK, "embeddings"),
-        "ann_ivf_topk_trained_hr": _sql_query(
-            _ANN_IVF_TRAINED_HR_SPARK, "embeddings"
-        ),
+        # r8: NumPy-batched assignment (value-identical; the pure-SQL forms
+        # _ANN_IVF*_SPARK remain the documented construction and the
+        # row-equality pin's reference side, tests/test_ann_fast.py)
+        "ann_ivf_topk": _mk_ivf_fast(trained=False, nprobe=_IVF_NPROBE),
+        "ann_ivf_topk_trained": _mk_ivf_fast(trained=True, nprobe=_IVF_NPROBE),
+        "ann_ivf_topk_trained_hr": _mk_ivf_fast(trained=True, nprobe=_IVF_NPROBE_HR),
         "embedding_cluster_assign": _sql_query(_EMB_CLUSTER_SPARK, "embeddings"),
         "semantic_dedup_keep": _sql_query(_semdedup_sql("spark"), "embeddings"),
         "cluster_mixture_sample": _sql_query(_MIXTURE_SAMPLE_SPARK, "embeddings"),

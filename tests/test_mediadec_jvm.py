@@ -290,3 +290,74 @@ def test_jvm_libjpeg_agrees_on_per_component_dc_scans(spark):
     df = _payload_df(spark, [mk(build_jpeg), mk(build_jpeg_progressive)])
     jv, py = _rows(decode_images_jvm(df)), _rows(decode_images(df))
     assert jv[0] == jv[1] == py[0] == py[1] and jv[0][0] == "ok"
+
+
+def test_register_falls_back_to_python_twins_when_jar_unavailable(
+    spark, monkeypatch
+):
+    """VERDICT r7 #1: in a session where the mediadec class cannot load AND
+    the jar file is absent, the ``*_jvm`` entry points must return the
+    value-pinned Python twins instead of raising — the driver gate runs the
+    registry in its own session. Simulated by pointing registration at a
+    bogus class and the jar resolver at a missing path."""
+    import engine.multimodal as mm
+
+    spark.conf.unset("spark.mediadec.registered")
+    monkeypatch.setattr(
+        mm, "_JVM_UDFS",
+        tuple((n, "mediadec.NoSuchClass", d) for n, _, d in mm._JVM_UDFS),
+    )
+    monkeypatch.setattr(mm, "_mediadec_jar_path", lambda: "/nonexistent/x.jar")
+    try:
+        assert mm.register_jvm_media(spark) is False
+        # flag caches the decision for the session
+        assert spark.conf.get("spark.mediadec.registered") == "fallback"
+        pal = bytes(v for i in range(8) for v in (40 + i * 10,) * 3)
+        df = _payload_df(
+            spark,
+            [b"P6\n4 3\n255\n" + _gray(36, 11), encode_bmp(4, 3, _gray(36, 12)),
+             encode_gif(4, 3, pal, [i % 8 for i in range(12)]), b"XX bad"],
+        )
+        assert _rows(mm.decode_images_jvm(df)) == _rows(decode_images(df))
+        wav = _payload_df(spark, [encode_wav(16000, 1, [5, -5, 100])])
+        assert _rows(mm.decode_audio_jvm(wav)) == _rows(decode_audio(wav))
+    finally:
+        spark.conf.unset("spark.mediadec.registered")
+
+
+def test_register_add_jar_recovers_in_bare_session(tmp_path):
+    """A session created WITHOUT spark.jars (exactly the driver gate's
+    environment) must still get the live JVM path: register_jvm_media
+    resolves dist/mediadec.jar and ADD JARs it onto the running session.
+    Needs a fresh JVM (the shared fixture's context already carries the
+    jar), so it runs in a subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(repo, "dist", "mediadec.jar")):
+        pytest.skip("dist/mediadec.jar not built")
+    code = r"""
+import sys
+sys.path.insert(0, %r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .appName("bare-addjar-test").config("spark.ui.enabled", "false")
+         .getOrCreate())
+import engine.multimodal as mm
+assert mm.register_jvm_media(spark) is True, "ADD JAR retry did not register"
+from engine.multimodal import decode_images, decode_images_jvm, encode_bmp
+df = spark.createDataFrame(
+    [(0, encode_bmp(4, 3, bytes(range(36))))], "doc_id long, payload binary")
+jv = {r["doc_id"]: tuple(r)[1:] for r in decode_images_jvm(df).collect()}
+py = {r["doc_id"]: tuple(r)[1:] for r in decode_images(df).collect()}
+assert jv == py and jv[0][0] == "ok", (jv, py)
+print("ADDJAR_OK")
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code % repo],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert "ADDJAR_OK" in out.stdout, out.stdout + out.stderr
