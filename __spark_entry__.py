@@ -233,6 +233,46 @@ def _sql_query(spark_sql: str, *tables: str) -> Callable[[SparkSession, str], Da
     return q
 
 
+def _par_view(spark: SparkSession, sf_dir: str, table: str) -> None:
+    """Scale-adaptive scan parallelization (r8, guide §2.5 'input skew'):
+    the local test corpora are single-row-group parquet files, so the scan
+    is ONE unsplittable task and every in-row-heavy stage above it
+    (per-gram md5, per-token folds, Arrow passes) runs serially while 31
+    cores idle — measured 13.5 s for simhash at sf1.0 where the same work
+    takes <1 s spread across the session's cores. Registers ``table`` as a
+    round-robin repartition to the session's default parallelism ONLY when
+    the scan is under-parallel; a real multi-file corpus at cluster scale
+    already has >= cores splits, so this is a no-op there by construction
+    (nothing is tuned to local[32]). Round-robin, never hash: no corpus
+    text is ever hash-shuffled, and the plan pins keep asserting that.
+    Callers must restore the plain view (via _load) if a later query in
+    the same session needs pushdown into the scan."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    df.createOrReplaceTempView(table)
+
+
+def _par_sql_query(
+    spark_sql: str, *tables: str, par: str = "documents"
+) -> Callable[[SparkSession, str], DataFrame]:
+    """_sql_query twin for full-scan queries whose per-row work dominates:
+    analysis happens eagerly inside ``spark.sql``, so the parallelized view
+    is captured by THIS query and the plain view is restored immediately
+    for any neighbor that needs scan pushdown. Never used for queries with
+    selective scan filters (repartition would block their pushdown)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir, *tables)
+        _par_view(spark, sf_dir, par)
+        out = spark.sql(spark_sql)
+        _load(spark, sf_dir, par)
+        return out
+
+    return q
+
+
 # A1/F4 coverage counters
 _SQL_COVERAGE = """
 SELECT lang,
@@ -731,6 +771,66 @@ _MINHASH_FAST_SPARK = (
 )
 
 
+def _q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 execution of minhash_signatures (`_MINHASH_FAST_SPARK` above
+    stays as the documented construction + the pin's reference): signatures
+    are integer-exact (md5-hex prefix -> 32-bit int, universal multiply-mod
+    mins), so one Arrow-batched pass with a distinct-shingle digest memo
+    (shingles are Zipfian) and a vectorized per-family min replaces ~2.6M
+    interpreted conv/transform lambda evals per family at sf1.0. Same
+    tokenizer, same shingle join, same (h*A+B) % P families — pinned
+    row-equal in tests/test_substr_fast.py."""
+    from engine.minhash import A as _A_, B as _B_, P as _P_
+
+    docs = _par_docs_text(spark, sf_dir)
+
+    def sigs(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        An = np.asarray(_A_, dtype=np.int64)[None, :]
+        Bn = np.asarray(_B_, dtype=np.int64)[None, :]
+        memo: dict = {}
+        for pdf in batches:
+            ids: list[int] = []
+            flat: list[int] = []
+            offs: list[int] = [0]
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue  # split(NULL) has no shingles in the SQL form
+                toks = str(text).split(" ")
+                if len(toks) < 3:
+                    continue
+                ids.append(int(doc_id))
+                for i in range(len(toks) - 2):
+                    s = toks[i] + " " + toks[i + 1] + " " + toks[i + 2]
+                    v = memo.get(s)
+                    if v is None:
+                        v = memo[s] = int(
+                            hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16
+                        )
+                    flat.append(v)
+                offs.append(len(flat))
+            if not ids:
+                continue
+            h = np.asarray(flat, dtype=np.int64)
+            # h < 2^32 and A < 2^29 -> h*A < 2^61: exact in int64
+            m = (h[:, None] * An + Bn) % _P_
+            mins = np.minimum.reduceat(m, np.asarray(offs[:-1]), axis=0)
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            for i in range(8):
+                out[f"sig{i}"] = mins[:, i]
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sigs,
+        schema="doc_id bigint, "
+        + ", ".join(f"sig{i} bigint" for i in range(8)),
+    )
+
+
 def _mh_bands(cast: str) -> str:
     """Banded keys (4 bands × 2 rows); `cast` renders a sig as a string."""
     rows = []
@@ -1014,6 +1114,58 @@ SELECT doc_id, %s AS fingerprint FROM t
     f">= 15 * size(ms) THEN '1' ELSE '0' END"
     for p in range(1, 17)
 )
+def _q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 execution of simhash_fingerprint (the `_SIMHASH_SPARK` SQL above
+    stays as the documented construction + the row-equality pin's
+    reference, tests/test_substr_fast.py): the 16 per-dimension majorities
+    are integer sums of md5-hex nibbles, so the whole fingerprint is
+    integer-exact in ANY implementation — here one Arrow-batched pass with
+    a distinct-token digest memo (corpora are Zipfian; the bench corpus
+    has 31 distinct tokens, so 2.7M tokens at sf1.0 cost 31 md5 calls per
+    task instead of 43M interpreted aggregate-lambda evaluations: measured
+    3.5 s -> sub-second). Same tokenizer (split on single spaces, empties
+    kept — Python str.split(' ') == Spark split(text, ' ', -1)), same md5,
+    same `2*sum >= 15*n` majority rule."""
+    docs = _par_docs_text(spark, sf_dir)
+
+    def fp(batches):
+        import hashlib
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        memo: dict = {}
+
+        def nib(tok: str):
+            v = memo.get(tok)
+            if v is None:
+                d = hashlib.md5(tok.encode("utf-8")).hexdigest()[:16]
+                v = memo[tok] = np.array(
+                    [int(c, 16) for c in d], dtype=np.int64
+                )
+            return v
+
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                if text is None:
+                    # SQL: NULL ms -> every CASE falls to ELSE '0'
+                    out.append("0" * 16)
+                    continue
+                toks = str(text).split(" ")
+                n = len(toks)
+                s = np.zeros(16, dtype=np.int64)
+                for t, c in Counter(toks).items():
+                    s += nib(t) * c
+                out.append(
+                    "".join("1" if 2 * x >= 15 * n else "0" for x in s)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": out})
+
+    return docs.mapInPandas(fp, schema="doc_id bigint, fingerprint string")
+
+
 _SIMHASH_DUCK = """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 h AS (SELECT doc_id, md5(tok) AS m FROM tok),
@@ -1054,6 +1206,74 @@ SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) AS DOUBLE) AS sim_r FROM 
   FROM sims) t
 WHERE rank <= 3
 """
+def _q_embedding_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 execution of embedding_topk (the `_TOPK_SPARK` SQL above stays as
+    the documented construction and the pin's reference): the 10 x N
+    brute-force cosines move from interpreted aggregate/zip_with folds in a
+    CROSS JOIN (~38M lambda evals at sf1.0) into one Arrow-batched NumPy
+    pass. Float parity is bit-exact, not approximate: Spark's
+    ``aggregate(zip_with(a,b,(x,y)->x*y), 0D, (s,x)->s+x)`` is a strictly
+    sequential left fold, and ``np.add.accumulate`` over the identical
+    element products is the same sequence of IEEE additions — so dot, norm
+    (sqrt of the same fold), and sim are the same doubles the SQL form
+    produces (pinned row-equal at three SFs, tests/test_substr_fast.py).
+    The rank window + rounding stay in the original Spark SQL."""
+    import numpy as np
+
+    _load(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        spark.sql(
+            "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+            " FROM embeddings WHERE vec_id < 10"
+        ).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    Qm = np.asarray([[float(x) for x in r["e"]] for r in q_rows])
+    q_ids = np.asarray([int(r["vec_id"]) for r in q_rows], dtype=np.int64)
+    # sequential-fold norms, exactly the SQL's aggregate over x*x
+    qn = np.sqrt(np.add.accumulate(Qm * Qm, axis=1)[:, -1])
+
+    def sims(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            vid = pdf["vec_id"].to_numpy()
+            cn = np.sqrt(np.add.accumulate(V * V, axis=1)[:, -1])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                dot = np.add.accumulate(V * Qm[qi][None, :], axis=1)[:, -1]
+                sim = dot / (qn[qi] * cn)
+                out_q.append(np.full(len(vid), q_ids[qi], dtype=np.int64))
+                out_n.append(vid)
+                out_s.append(sim)
+            yield pd.DataFrame(
+                {"query_id": np.concatenate(out_q),
+                 "neighbor_id": np.concatenate(out_n),
+                 "sim": np.concatenate(out_s)}
+            )
+
+    cands = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where("vec_id >= 10")
+        .select("vec_id", "embedding")
+        .mapInPandas(sims, schema="query_id bigint, neighbor_id bigint, sim double")
+    )
+    cands.createOrReplaceTempView("_topk_sims")
+    return spark.sql("""
+SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) AS DOUBLE) AS sim_r FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM _topk_sims) t
+WHERE rank <= 3
+""")
+
+
 _TOPK_DUCK = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
@@ -2710,13 +2930,24 @@ LEFT JOIN (SELECT w2.doc_id, sum(wtok.n) AS n_bpe
     )
 
 
+def _par_docs_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) with the scan round-robined to session parallelism
+    when under-parallel (r8 — the shared fix for the single-row-group
+    local files; see _par_view) — feeds the Arrow BPE encode passes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n:
+        docs = docs.repartition(n)
+    return docs
+
+
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import bpe as _bpe
     from engine.bpe_vocab import MERGES
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _par_docs_text(spark, sf_dir)
     enc = _bpe.encode_arrow(docs, MERGES)
     return (
         enc.select("doc_id", F.explode("tokens").alias("token"))
@@ -2807,9 +3038,7 @@ def _q_bpe_tokens_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import bpe as _bpe
     from engine.bpe_vocab import MERGES
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
+    docs = _par_docs_text(spark, sf_dir)
     enc = _bpe.encode_arrow(docs, MERGES)
     return enc.selectExpr(
         "doc_id",
@@ -2995,16 +3224,23 @@ c AS (
   WHERE size(toks) >= 1
 ),
 k AS (SELECT h, min(named_struct('d', doc_id, 'i', chunk_idx)) AS keeper
-      FROM c GROUP BY h)
-SELECT c.doc_id,
-       CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(sum(CASE WHEN k.keeper.d = c.doc_id AND k.keeper.i = c.chunk_idx
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(round(sum(CASE WHEN k.keeper.d = c.doc_id AND k.keeper.i = c.chunk_idx
-                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+      FROM c GROUP BY h),
+nov AS (SELECT keeper.d AS doc_id, count(*) AS n_kept
+        FROM k GROUP BY keeper.d)
+SELECT d.doc_id,
+       CAST(d.nc AS BIGINT) AS n_chunks,
+       CAST(coalesce(nov.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(round(coalesce(nov.n_kept, 0) * 1.0 / d.nc, 4)
             AS DOUBLE) AS keep_ratio
-FROM c JOIN k ON c.h = k.h GROUP BY c.doc_id
+FROM (SELECT doc_id, CAST(ceil(size(split(text, ' ')) / 16.0) AS INT) AS nc
+      FROM documents WHERE size(split(text, ' ')) >= 1) d
+LEFT JOIN nov ON d.doc_id = nov.doc_id
 """
+# ^ r8: same single-pass restructure as _SQL_SUBSTR_DEDUP_SPARK (the chunk
+# subtree c is referenced once; per-doc chunk count == ceil(n_tokens/16) is
+# an in-row expression; n_kept == count of keeper rows owned). The DuckDB
+# oracle keeps the original window form; values identical by the same
+# one-keeper-per-hash argument.
 _SQL_PARA_DEDUP_DUCK = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 c AS (
@@ -3060,18 +3296,31 @@ g AS (
 ),
 k AS (SELECT h, min(named_struct('d', doc_id, 'p', pos)) AS keeper
       FROM g GROUP BY h),
-tal AS (SELECT g.doc_id,
-               count(*) AS n_grams,
-               sum(CASE WHEN k.keeper.d = g.doc_id AND k.keeper.p = g.pos
-                   THEN 1 ELSE 0 END) AS n_novel
-        FROM g JOIN k ON g.h = k.h GROUP BY g.doc_id)
+nov AS (SELECT keeper.d AS doc_id, count(*) AS n_novel
+        FROM k GROUP BY keeper.d)
 SELECT d.doc_id,
-       CAST(coalesce(tal.n_grams, 0) AS BIGINT) AS n_grams,
-       CAST(coalesce(tal.n_novel, 0) AS BIGINT) AS n_novel,
-       CAST(round(coalesce(tal.n_novel * 1.0 / tal.n_grams, 1.0), 4)
-            AS DOUBLE) AS novelty
-FROM documents d LEFT JOIN tal ON d.doc_id = tal.doc_id
+       CAST(d.ng AS BIGINT) AS n_grams,
+       CAST(CASE WHEN d.ng > 0 THEN coalesce(nov.n_novel, 0)
+            ELSE 0 END AS BIGINT) AS n_novel,
+       CAST(round(CASE WHEN d.ng > 0
+                       THEN coalesce(nov.n_novel, 0) * 1.0 / d.ng
+                       ELSE 1.0 END, 4) AS DOUBLE) AS novelty
+FROM (SELECT doc_id, greatest(size(split(text, ' ')) - 15, 0) AS ng
+      FROM documents) d
+LEFT JOIN nov ON d.doc_id = nov.doc_id
 """
+# ^ r8 restructure of the Spark side ONLY (the DuckDB oracle below keeps the
+# original window form): the r7 form referenced the gram subtree g TWICE
+# (keeper groupBy + a tag-back join), so the slice+md5 gram build executed
+# twice and 2M digests shuffled twice at sf1.0. Equivalences that make the
+# single-pass form value-identical: (a) per doc, count(*) of gram rows ==
+# size(toks) - 15 (one row per position, only docs with >= 16 tokens emit) —
+# so n_grams is an in-row expression on documents; (b) each digest group has
+# EXACTLY ONE keeper row (min struct), so the old sum-of-indicator over the
+# tag-back join == count of keeper rows per owning doc — `nov`, computed
+# from the already-aggregated k, no second gram pass. The novelty division
+# sees the same integers, so the rounded double is identical. Pinned
+# row-equal to the r7 form in tests/test_substr_fast.py.
 # DuckDB twin: row_number window == min-struct keeper under the same
 # (doc_id, pos) order — the paragraph_dedup oracle discipline.
 _SQL_SUBSTR_DEDUP_DUCK = """
@@ -3242,9 +3491,14 @@ def _wat_links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine import sources as _src
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
-        "doc_id", f"{_WAT_HTML_BODY} AS html"
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r8: the single-row-group local file serializes the Arrow WAT-payload
+    # build into one task; round-robin to session parallelism when the
+    # scan is under-parallel (no-op on a real multi-split corpus)
+    n = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n:
+        docs = docs.repartition(n)
+    docs = docs.selectExpr("doc_id", f"{_WAT_HTML_BODY} AS html")
 
     def to_payload(batches):
         from datetime import datetime
@@ -3391,9 +3645,23 @@ def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH e0 AS (SELECT src, target FROM _domain_links)"
         + _DOMAIN_RANK_EDGE_SQL
     ).collect()
-    spark.createDataFrame(
-        [(r["src"], r["dst"], float(r["w"])) for r in edge_rows],
-        "src string, dst string, w double",
+    # r8: registered as a literal VALUES LocalRelation (the trained-
+    # codebook pattern) instead of createDataFrame — createDataFrame
+    # parallelizes the few-hundred-row aggregate across
+    # defaultParallelism RDD slices, so every one of the recurrence's
+    # ~15 tiny joins/aggregates paid a 32-task stage; a LocalRelation has
+    # known stats (broadcast joins fire) and no RDD partitioning.
+    # sorted: the recurrence's float sums see a FIXED row order regardless
+    # of how the corpus pass was partitioned (r8 made that adaptive too).
+    def _slit(s: str) -> str:
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    vals = ", ".join(
+        f"({_slit(r[0])}, {_slit(r[1])}, CAST({r[2]!r} AS DOUBLE))"
+        for r in sorted((r["src"], r["dst"], float(r["w"])) for r in edge_rows)
+    )
+    spark.sql(
+        "SELECT src, dst, w FROM VALUES %s AS t(src, dst, w)" % vals
     ).createOrReplaceTempView("_domain_edges")
     return spark.sql(
         "WITH e AS (SELECT src, dst, w FROM _domain_edges),"
@@ -4208,13 +4476,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_rollup": _sql_query(_SQL_CUBE, "documents"),
         # training-data pipeline operators
         "dedup_exact": _sql_query(_SQL_DEDUP_EXACT, "documents"),
-        "minhash_signatures": _sql_query(_MINHASH_FAST_SPARK, "documents"),
+        "minhash_signatures": _q_minhash_fast,
         "minhash_lsh_pairs": _sql_query(_MINHASH_FAST_PAIRS, "documents"),
         "dedup_clusters": _q_dedup_clusters,
         "neardedup_keep": _q_neardedup_keep,
         "ngram_jaccard_pairs": _sql_query(_JACCARD_SPARK_INROW, "documents"),
-        "simhash_fingerprint": _sql_query(_SIMHASH_SPARK, "documents"),
-        "embedding_topk": _sql_query(_TOPK_SPARK, "embeddings"),
+        "simhash_fingerprint": _q_simhash_fast,
+        "embedding_topk": _q_embedding_topk_fast,
         "embedding_near_dup": _sql_query(_NEARDUP_SPARK, "embeddings"),
         "ann_lsh_candidates": _sql_query(_ANN_LSH_SPARK, "embeddings"),
         # r8: NumPy-batched assignment (value-identical; the pure-SQL forms
@@ -4245,9 +4513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_nll": _sql_query(_SQL_LM_BIGRAM_SPARK, "documents"),
         "dsir_resample": _sql_query(_SQL_DSIR_SPARK, "documents", "embeddings"),
         "decontaminate": _sql_query(_SQL_DECON_SPARK, "documents"),
-        "paragraph_dedup": _sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
-        "substring_dedup": _sql_query(_SQL_SUBSTR_DEDUP_SPARK, "documents"),
-        "substring_dedup_winnow": _sql_query(
+        "paragraph_dedup": _par_sql_query(_SQL_PARA_DEDUP_SPARK, "documents"),
+        "substring_dedup": _par_sql_query(_SQL_SUBSTR_DEDUP_SPARK, "documents"),
+        "substring_dedup_winnow": _par_sql_query(
             _SQL_SUBSTR_WINNOW_SPARK, "documents"
         ),
         "wat_outlink_rollup": _q_wat_outlinks,
