@@ -1649,25 +1649,17 @@ _IVF_Q_EXPR = (
 )
 
 
-def _ivf_sims_sql() -> str:
-    """Final exact-cosine + top-3 rank over the candidate pairs — the SAME
-    expression text as the `sims`/rank tail of the oracled SQL form."""
-    from engine.ann import COSINE
-
-    cosine = COSINE.format(a="a.v", b="d.v")
-    return f"""
-WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-sims AS (
-  SELECT c.query_id, c.neighbor_id,
-         {cosine} AS sim
-  FROM _ivf_cands c JOIN e a ON a.vec_id = c.query_id
-               JOIN e d ON d.vec_id = c.neighbor_id)
+# rank + rounding over (query_id, neighbor_id, sim) candidate rows — the
+# SAME window/round text as the oracled SQL form's tail. The sim doubles
+# are produced by np.add.accumulate sequential folds, which are
+# BIT-identical to the SQL COSINE aggregate folds (the embedding_topk
+# equality pin demonstrates this at three SFs).
+_IVF_RANK_SQL = """
 SELECT query_id, neighbor_id, rank, CAST(round(sim, 4) + 0 AS DOUBLE) AS sim_r FROM (
   SELECT query_id, neighbor_id, sim,
          CAST(row_number() OVER (PARTITION BY query_id
                                  ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-  FROM sims) t
+  FROM _ivf_cands) t
 WHERE rank <= 3
 """
 
@@ -1717,18 +1709,31 @@ def _mk_ivf_fast(trained: bool, nprobe: int) -> Callable[[SparkSession, str], Da
         cids = np.asarray([cid for cid, _ in cent], dtype=np.int64)
         cc = (C * C).sum(axis=1)
 
-        # probe side: ten query rows, quantized by the oracle's own Spark
-        # expression; top-nprobe under stable (score, cid) order == the
-        # SQL's "row_number() OVER (ORDER BY score, cid) <= nprobe"
-        q_rows = spark.sql(
-            f"SELECT vec_id, {_IVF_Q_EXPR} AS q FROM embeddings WHERE vec_id < 10"
-        ).collect()
+        # probe side: ten query rows collected ONCE with both the oracle's
+        # quantization expression (probe ranking) and the double vector
+        # (exact cosine); top-nprobe under stable (score, cid) order ==
+        # the SQL's "row_number() OVER (ORDER BY score, cid) <= nprobe"
+        q_rows = sorted(
+            spark.sql(
+                f"SELECT vec_id, {_IVF_Q_EXPR} AS q, "
+                "transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+                "FROM embeddings WHERE vec_id < 10"
+            ).collect(),
+            key=lambda r: int(r["vec_id"]),
+        )
         probe_lists: dict[int, list[int]] = {}
-        for r in sorted(q_rows, key=lambda r: int(r["vec_id"])):
-            qv = np.asarray([float(x) for x in r["q"]], dtype=np.float64)[None, :]
-            s = _ivf_scores(qv, C, cc, metric)[0]
+        qvecs: dict[int, object] = {}
+        qnorm: dict[int, float] = {}
+        for r in q_rows:
+            qid = int(r["vec_id"])
+            qq = np.asarray([float(x) for x in r["q"]], dtype=np.float64)[None, :]
+            s = _ivf_scores(qq, C, cc, metric)[0]
             for j in np.argsort(s, kind="stable")[: int(nprobe)]:
-                probe_lists.setdefault(int(cids[j]), []).append(int(r["vec_id"]))
+                probe_lists.setdefault(int(cids[j]), []).append(qid)
+            qv = np.asarray([float(x) for x in r["v"]], dtype=np.float64)
+            qvecs[qid] = qv
+            # sequential-fold norm: sqrt(aggregate of x*x), bit-exact
+            qnorm[qid] = float(np.sqrt(np.add.accumulate(qv * qv)[-1]))
 
         def assign_and_pair(batches):
             import numpy as np  # noqa: PLC0415 — executor-side import
@@ -1744,14 +1749,27 @@ def _mk_ivf_fast(trained: bool, nprobe: int) -> Callable[[SparkSession, str], Da
                 s = _ivf_scores(Qm, C, cc, metric)
                 best = cids[np.argmin(s, axis=1)]  # first min -> lowest cid
                 vid = pdf["vec_id"].to_numpy()
-                out_q, out_n = [], []
-                for v, lid in zip(vid, best):
-                    for qid in probe_lists.get(int(lid), ()):
-                        out_q.append(qid)
-                        out_n.append(int(v))
+                cn = np.sqrt(np.add.accumulate(V * V, axis=1)[:, -1])
+                out_q, out_n, out_s = [], [], []
+                for lid in np.unique(best):
+                    qids = probe_lists.get(int(lid))
+                    if not qids:
+                        continue
+                    mask = best == lid
+                    Vm, vm, cm = V[mask], vid[mask], cn[mask]
+                    for qid in qids:
+                        dot = np.add.accumulate(
+                            Vm * qvecs[qid][None, :], axis=1
+                        )[:, -1]
+                        out_q.append(np.full(len(vm), qid, dtype=np.int64))
+                        out_n.append(vm)
+                        out_s.append(dot / (qnorm[qid] * cm))
+                if not out_q:
+                    continue
                 yield pd.DataFrame(
-                    {"query_id": pd.Series(out_q, dtype="int64"),
-                     "neighbor_id": pd.Series(out_n, dtype="int64")}
+                    {"query_id": np.concatenate(out_q),
+                     "neighbor_id": np.concatenate(out_n),
+                     "sim": np.concatenate(out_s)}
                 )
 
         data = (
@@ -1760,10 +1778,11 @@ def _mk_ivf_fast(trained: bool, nprobe: int) -> Callable[[SparkSession, str], Da
             .select("vec_id", "embedding")
         )
         cands = data.mapInPandas(
-            assign_and_pair, schema="query_id bigint, neighbor_id bigint"
+            assign_and_pair,
+            schema="query_id bigint, neighbor_id bigint, sim double",
         )
         cands.createOrReplaceTempView("_ivf_cands")
-        return spark.sql(_ivf_sims_sql())
+        return spark.sql(_IVF_RANK_SQL)
 
     return q
 

@@ -129,10 +129,17 @@ def run_staged(
     blocks = detect(pages, num_parts, emit_filtered_text=False, fallback=fallback)
     pred = KEEP_PREDICATE_FALLBACK if fallback else KEEP_PREDICATE
     surviving = blocks.filter(F.expr(pred))
+    # r8: stage 2 is a scalar Arrow UDF over (text, lang) only — the six
+    # carry columns never cross the Python boundary (guide §4: pass only
+    # the columns the function needs). recognize_blocks (the mapInPandas
+    # form) remains the unit-tested reference twin of the same body.
+    from engine.stages import recognize_norm_udf
+
     recognized = surviving.select(
-        "url", "warc_ts", "block_id", "text", "lang", "doc_n_blocks",
-        "doc_status", "forced"
-    ).mapInPandas(recognize_blocks, schema=RECOGNIZED_SCHEMA)
+        "url", "warc_ts", "block_id", "lang",
+        recognize_norm_udf()(F.col("text"), F.col("lang")).alias("norm_text"),
+        "doc_n_blocks", "doc_status", "forced",
+    )
     nonempty = recognized.filter("block_id = -1 OR length(norm_text) > 0")
     if reassembly == "local":
         from engine.stages import assemble_blocks

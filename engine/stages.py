@@ -157,6 +157,33 @@ def _detect_blocks_impl(
         yield pd.DataFrame(out)
 
 
+def _recognize_series(text: pd.Series, lang: pd.Series) -> pd.Series:
+    """Series->Series body of the Arrow-batched recognize stage (r8): the
+    per-block normalize is a function of (text, lang) ALONE — sentinel rows
+    carry text '' and normalize('') == '' — so the staged pipeline ships
+    ONLY those two columns to Python and the six carry columns
+    (url/warc_ts/ids/flags) stay in the JVM. Same recognize_block oracle
+    per row; measured ~2x on the recognize stage of the 20k-doc bench
+    corpus (1.1M surviving blocks), byte-identity pinned by the staged ==
+    fused golden tests."""
+    return pd.Series(
+        [recognize_block(t, l) for t, l in zip(text, lang)], dtype="object"
+    )
+
+
+def recognize_norm_udf():
+    """The scalar Arrow (pandas) UDF wrapping :func:`_recognize_series`.
+    Built lazily so importing this module never requires a live session.
+    asNondeterministic: the downstream non-empty filter references the UDF
+    column, and the optimizer otherwise duplicates the evaluation below
+    the pushed filter — every surviving block paid recognize TWICE
+    (optimization-guide §4.4; plan-pinned to ONE ArrowEvalPython in
+    test_golden_e2e). The function is pure, so results are unaffected."""
+    from pyspark.sql import functions as F
+
+    return F.pandas_udf(_recognize_series, returnType="string").asNondeterministic()
+
+
 def recognize_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas stage 2: surviving blocks -> normalized text."""
     for pdf in batches:

@@ -77,13 +77,20 @@ def test_fused_arrow_equals_pandas(spark, pages_small_path):
 
 
 def test_staged_local_plan_has_no_exchange(spark, pages_small_path):
-    """The default staged plan must be fully partition-local: three
-    mapInPandas stages, zero Exchange — extracted text never crosses the
-    wire (VERDICT r1 #1)."""
+    """The default staged plan must be fully partition-local: detect and
+    assemble as mapInPandas, recognize as a scalar Arrow UDF over
+    (text, lang) only (r8 — the carry columns stay JVM-side), zero
+    Exchange — extracted text never crosses the wire (VERDICT r1 #1)."""
     pages = spark.read.parquet(pages_small_path)
     plan = pipeline.run_staged(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
-    assert plan.count("MapInPandas") == 3, plan
+    assert plan.count("MapInPandas") == 2, plan
+    # exactly ONE Arrow eval: the nondeterministic marking must keep the
+    # optimizer from duplicating recognize below the non-empty filter
+    # (guide §4.4 — the duplicated form measured 21 s vs 8 s on the bench
+    # corpus)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 @pytest.mark.parametrize("mode", ["fused", "staged", "staged_shuffle"])
