@@ -163,17 +163,29 @@ def upsert_ivf_index(
     the lists table) so re-upserting a batch is idempotent; pass False
     when the caller guarantees fresh ids and wants to skip that scan.
     Single-writer, like every tableio maintenance op."""
+    _heal_ivf_lists(index_path)
     cent_src = spark.read.parquet(f"{index_path}/centroids")
     cent_rows = cent_src.collect()
     if cent_rows and "metric" in cent_rows[0].__fields__:
-        metric = cent_rows[0]["metric"]
+        # same loud mixed-metric guard as ivf_topk (ADVICE r7): a corrupt
+        # centroids table must not be silently extended
+        metrics = {r["metric"] for r in cent_rows}
+        if len(metrics) > 1:
+            raise ValueError(
+                "corrupt IVF index: centroids table carries mixed metrics "
+                + str(sorted(metrics))
+            )
+        metric = next(iter(metrics)) if metrics else "dot_q"
     else:
         metric = "dot_q"
     cent = spark.createDataFrame(
         [(int(r["cid"]), [int(x) for x in r["cq"]]) for r in cent_rows],
         "cid bigint, cq array<bigint>",
     )
-    data = _prep(new_embeddings)
+    # identical data filter as build_ivf_index (ADVICE r7): without it, a
+    # batch containing reserved low vec_ids would break the documented
+    # "upsert then probe equals full rebuild" invariant
+    data = _prep(new_embeddings).where("vec_id >= 10")
     if dedup:
         existing = spark.read.parquet(f"{index_path}/lists").select("vec_id")
         data = data.join(existing, "vec_id", "left_anti")
@@ -276,17 +288,38 @@ def ivf_topk(
     )
 
 
+def _heal_ivf_lists(index_path: str) -> None:
+    """Heal-on-entry for the rename-swap maintenance ops (ADVICE r7): a
+    crash between ``os.rename(lists, aside)`` and ``os.rename(tmp, lists)``
+    leaves NO lists table at the live path — if so, restore the newest
+    ``.gc-*`` sibling; then garbage-collect any stale ``.tmp-*``/``.gc-*``
+    siblings so interrupted rewrites never accumulate."""
+    import glob as _glob
+    import os
+    import shutil
+
+    lists_path = f"{index_path}/lists"
+    asides = sorted(_glob.glob(f"{lists_path}.gc-*"), key=os.path.getmtime)
+    if not os.path.exists(lists_path) and asides:
+        os.rename(asides.pop(), lists_path)
+    for stale in asides + _glob.glob(f"{lists_path}.tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def compact_ivf_lists(spark: SparkSession, index_path: str) -> None:
     """Posting-list maintenance (r7): every :func:`upsert_ivf_index` batch
     appends a small file per touched list; periodic compaction rewrites
     the lists table into one file per list partition, exactly like
     ``tableio.compact`` for the extracted table. Crash-safe the same way:
     the rewrite stages to a tmp SIBLING and swaps by rename, so readers
-    see either the old or the new complete table."""
+    see either the old or the new complete table — and (r8, ADVICE r7)
+    :func:`_heal_ivf_lists` runs on entry, restoring a swapped-aside table
+    if a previous run died between the two renames."""
     import os
     import shutil
     import uuid as _uuid
 
+    _heal_ivf_lists(index_path)
     lists_path = f"{index_path}/lists"
     lists = spark.read.parquet(lists_path)
     tmp = f"{lists_path}.tmp-{_uuid.uuid4().hex[:8]}"

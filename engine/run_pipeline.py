@@ -94,7 +94,11 @@ def main() -> None:
         "quality-classifier probability (engine/logreg_model frozen "
         "weights, in-row broadcast-literal scoring) falls below P; "
         "error/empty rows pass through — they are the failure record "
-        "coverage metrics count",
+        "coverage metrics count. Composition caveat (ADVICE r7): dropped "
+        "urls are never recorded as done, so --resume re-extracts and "
+        "re-drops them every invocation — deliberate (a raised threshold "
+        "must be able to re-admit them), but it means 'remaining' does "
+        "not converge to empty while the gate is active",
     )
     ap.add_argument(
         "--blocklist",

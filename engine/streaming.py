@@ -526,7 +526,13 @@ def incremental_host_edges(
     equals the batch ``host_edges`` over every archive ever ingested,
     pinned in tests/test_streaming). Feeding ``watgraph.domain_rank`` the
     folded table gives an always-current crawl rank without ever
-    re-parsing old archives."""
+    re-parsing old archives.
+
+    Idempotence (ADVICE r7): foreachBatch is at-least-once, so each
+    micro-batch writes to its own ``batch_id=<n>`` partition directory
+    with overwrite — a replayed batch overwrites its own delta instead of
+    double-appending into the sink (the fold ignores the extra partition
+    column: weights stay exact under retries)."""
     from engine import watgraph
     from engine.sources import WAT_PAGES_SCHEMA, wat_parse_batches
 
@@ -542,7 +548,9 @@ def incremental_host_edges(
     meta = files.mapInPandas(wat_parse_batches, schema=WAT_PAGES_SCHEMA)
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
-        watgraph.host_edges(batch_df).write.mode("append").parquet(out_dir)
+        watgraph.host_edges(batch_df).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={int(batch_id)}"
+        )
 
     query = (
         meta.writeStream.foreachBatch(emit)

@@ -23,6 +23,9 @@ def main() -> None:
     if len(sys.argv) < 2:
         sys.exit(__doc__)
     src = sys.argv[1]
+    if len(sys.argv) > 2 and sys.argv[2] == "--merge" and not sys.argv[3:]:
+        # ADVICE r7: a bare --merge used to fall through to full-replace
+        sys.exit("usage: update_bench_reference.py ARTIFACT --merge Q1 [Q2 ...]")
     merge_only = sys.argv[3:] if len(sys.argv) > 3 and sys.argv[2] == "--merge" else None
     with open(src, encoding="utf-8") as f:
         artifact = json.load(f)
@@ -50,7 +53,17 @@ def main() -> None:
         if missing:
             sys.exit(f"refusing --merge: {missing} not in {src}")
         with open(OUT, encoding="utf-8") as f:
-            queries = json.load(f)["queries"]
+            existing = json.load(f)
+        queries = existing["queries"]
+        # ADVICE r7: most entries are carried over from the existing file,
+        # so its sf/cpus scope must match the artifact's — refuse a merge
+        # that would silently mix scales
+        for k in ("sf", "cpus"):
+            if str(existing.get(k)) != str(artifact.get(k, existing.get(k))):
+                sys.exit(
+                    f"refusing --merge: {k}={artifact.get(k)} in {src} vs "
+                    f"{existing.get(k)} in {OUT}"
+                )
         for name in merge_only:
             queries[name] = artifact["queries"][name]
     # VERDICT r5 #2: the local8 scaling probe is part of the flag coverage;
@@ -68,10 +81,12 @@ def main() -> None:
         ),
         "source": os.path.relpath(src, REPO)
         if merge_only is None
-        else json.load(open(OUT, encoding="utf-8")).get("source", "")
+        else existing.get("source", "")
         + f" + merge[{','.join(merge_only)}]:{os.path.relpath(src, REPO)}",
-        "sf": artifact.get("sf"),
-        "cpus": artifact.get("cpus", "32"),
+        "sf": artifact.get("sf") if merge_only is None else existing.get("sf"),
+        "cpus": artifact.get("cpus", "32")
+        if merge_only is None
+        else existing.get("cpus", "32"),
         "queries": queries,
     }
     with open(OUT, "w", encoding="utf-8") as f:

@@ -332,3 +332,30 @@ def test_upsert_respects_trained_index_metric(spark, tmp_path):
         tuple(r) for r in ann.ivf_topk(spark, full, queries).collect()
     )
     assert got == want and len(got) == 30
+
+
+def test_compact_heals_interrupted_swap(spark, tmp_path):
+    """ADVICE r7: a crash between the two renames of compact_ivf_lists
+    leaves NO lists table at the live path; heal-on-entry must restore the
+    swapped-aside table (and clear stale .tmp-* siblings) so the next
+    maintenance op — or upsert — finds a working index."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    ann.build_ivf_index(spark, SF, idx)
+    queries = spark.read.parquet(f"{SF}/embeddings.parquet").where("vec_id < 10")
+    want = sorted(tuple(r) for r in ann.ivf_topk(spark, idx, queries).collect())
+
+    # simulate the crash window: lists moved aside, a stale tmp left behind
+    os.rename(f"{idx}/lists", f"{idx}/lists.gc-deadbeef")
+    os.makedirs(f"{idx}/lists.tmp-cafe", exist_ok=True)
+
+    ann.compact_ivf_lists(spark, idx)
+    assert os.path.exists(f"{idx}/lists")
+    assert not os.path.exists(f"{idx}/lists.tmp-cafe")
+    assert not any(
+        p.startswith("lists.gc-") for p in os.listdir(idx)
+    )
+    got = sorted(tuple(r) for r in ann.ivf_topk(spark, idx, queries).collect())
+    assert got == want
