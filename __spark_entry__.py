@@ -3675,13 +3675,19 @@ def _q_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _slit(s: str) -> str:
         return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    vals = ", ".join(
-        f"({_slit(r[0])}, {_slit(r[1])}, CAST({r[2]!r} AS DOUBLE))"
-        for r in sorted((r["src"], r["dst"], float(r["w"])) for r in edge_rows)
-    )
-    spark.sql(
-        "SELECT src, dst, w FROM VALUES %s AS t(src, dst, w)" % vals
-    ).createOrReplaceTempView("_domain_edges")
+    if edge_rows:
+        vals = ", ".join(
+            f"({_slit(r[0])}, {_slit(r[1])}, CAST({r[2]!r} AS DOUBLE))"
+            for r in sorted(
+                (r["src"], r["dst"], float(r["w"])) for r in edge_rows
+            )
+        )
+        edges_df = spark.sql(
+            "SELECT src, dst, w FROM VALUES %s AS t(src, dst, w)" % vals
+        )
+    else:  # an edgeless corpus must still yield a valid (empty) relation
+        edges_df = spark.createDataFrame([], "src string, dst string, w double")
+    edges_df.createOrReplaceTempView("_domain_edges")
     return spark.sql(
         "WITH e AS (SELECT src, dst, w FROM _domain_edges),"
         + _domain_rank_sql_tail(3)
